@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a stand-in for a multi-executor cluster: shuffle
+partitions sized to cores, AQE on (runtime coalesce + skew splitting),
+Arrow enabled for the few pandas UDFs (URL canonicalization, bloom
+build/probe, category-tree walk). Everything else in the engine is
+JVM-side Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.ui.enabled": "false",
+    # pages.html is a fat binary column; keep input splits reasonable
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "crawler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session.
+
+    ``cores``: explicit ``local[K]`` parallelism (bench scaling study);
+    default honors $CRAWLER_SPARK_MASTER then ``local[*]``.
+    """
+    if cores is not None:
+        master = f"local[{cores}]"
+    else:
+        master = os.environ.get("CRAWLER_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        if cores is not None:
+            shuffle_partitions = max(8, cores)
+        else:
+            shuffle_partitions = max(8, min(64, os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("CRAWLER_SPARK_DRIVER_MEM", "16g"),
+        )
+    )
+    for k, v in {**_DEFAULTS, **(extra or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
