@@ -1,0 +1,721 @@
+"""The superstep crawl engine (SURVEY.md §3.2 Spark equivalent; M2/M4/M5/M6).
+
+One superstep = one barrier-synchronized batch job:
+
+  batch    = politeness take-k over the frontier          [O3, §4.2-1/2]
+  fetched  = pages ⋈ batch (url equi-join; batch broadcast
+             when small — the corpus IS the web here)     [J1/S1]
+  parsed   = JVM extraction kernel per page kind          [§2.10]
+  entities → categories/brands/products/img_cache deltas  [S5, J2/J7/J4]
+  succ     = successor URLs with lexicographic discovery
+             paths (page chains, detail variants)         [S3/J6/U1]
+  frontier = (frontier ∖ batch) ∪ (succ ∖ seen)           [U1/U3]
+  seen     ∪= batch; partitioned bloom updated            [§4.2-3]
+  checkpoint: per-partition lineage counters + manifest    [§4.2-4]
+
+The crawl order contract vs the reference (SURVEY.md §7.3-2): per host,
+URLs are fetched in (path, url) order under the per-host budget
+k = budget_ms // crawl_delay; cross-host interleaving is defined by the
+superstep barrier. The pure-Python oracle (`crawler_spark.oracle`)
+encodes the same contract; golden tests assert sequence equality.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import schemas
+from .bloom import PartitionedBloom
+from .extract import (
+    extract_categories,
+    extract_details,
+    extract_listings,
+)
+from .politeness import politeness_take, robots_allowed
+from .statestore import StateStore
+from .urltools import canonicalize_udf, registrable_domain_udf
+
+_CKPT_PARTS = 16  # lineage partition granularity (url-hash)
+
+
+@dataclass
+class EngineConfig:
+    budget_ms: int = 30_000
+    max_k: int = 1_000
+    n_salts: int = 8
+    default_crawl_delay_ms: int = 3_000
+    bloom_partitions: int = 16
+    bloom_bits: int = 1 << 17
+    bloom_hashes: int = 5
+    broadcast_batch_limit: int = 2_000_000
+    canonicalize_successors: bool = True
+    max_supersteps: int = 10_000
+    extra: dict = field(default_factory=dict)
+
+
+def _kind_col() -> F.Column:
+    p = F.parse_url(F.col("url"), F.lit("PATH"))
+    return (
+        F.when(p.endswith("/getcategory"), F.lit("category"))
+        .when(p.endswith("/queryproductbypage"), F.lit("listing"))
+        .when(p.endswith("/getproductdetail"), F.lit("detail"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def _site_col() -> F.Column:
+    return F.parse_url(F.col("url"), F.lit("HOST"))
+
+
+def _qparam(name: str) -> F.Column:
+    return F.parse_url(F.col("url"), F.lit("QUERY"), F.lit(name)).cast("long")
+
+
+def _path3(sidx: F.Column, a: F.Column, b: F.Column) -> F.Column:
+    return F.format_string("%010d/%010d/%010d", sidx, a, b)
+
+
+_LISTING_URL = (
+    "concat('https://', site, '/api/mall/queryproductbypage?category=', "
+    "cast({cat} as string), '&page=', cast({page} as string))"
+)
+_DETAIL_URL = (
+    "concat('https://', site, '/api/product/getproductdetail?id=', "
+    "cast({pid} as string), '&category=', cast({cat} as string))"
+)
+
+_FRONTIER_COLS = [
+    "url",
+    "host",
+    "path",
+    "parent_url",
+    "root_seed",
+    "depth",
+    "superstep_added",
+]
+
+def _ckpt_pid() -> F.Column:
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(_CKPT_PARTS)).cast("int")
+
+
+class CrawlEngine:
+    """Distributed URL-frontier crawler over a pages corpus table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        seeds_path: str,
+        robots_path: str,
+        state_dir: str,
+        config: EngineConfig | None = None,
+        fresh: bool = False,
+    ):
+        self.spark = spark
+        self.cfg = config or EngineConfig()
+        self.store = StateStore(spark, state_dir, fresh=fresh)
+        self.pages = (
+            spark.read.schema(schemas.PAGES).parquet(pages_path)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self.robots = spark.read.schema(schemas.ROBOTS).parquet(robots_path)
+        self.seeds_path = seeds_path
+        if self.store.manifest["frontier"] is None:
+            self._init_frontier()
+        self.bloom = PartitionedBloom.load(self.store.manifest["bloom"])
+
+    # ------------------------------------------------------------------
+    def _init_frontier(self) -> None:
+        """Superstep 0: seed the frontier (canonicalized, robots-gated)."""
+        cfg = self.cfg
+        seeds = self.spark.read.schema(schemas.SEEDS).parquet(self.seeds_path)
+        f = (
+            seeds.withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", registrable_domain_udf(F.col("url")))
+            .withColumn("path", F.format_string("%010d", F.col("seed_order")))
+            .withColumn("parent_url", F.lit(None).cast("string"))
+            .withColumn("root_seed", F.col("url"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("superstep_added", F.lit(0).cast("long"))
+        )
+        f = robots_allowed(f, self.robots).select(*_FRONTIER_COLS)
+        self.store.write_frontier(f, 0)
+        bloom = PartitionedBloom(
+            cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes
+        )
+        bloom.add_df(self.spark.read.parquet(self.store.manifest["frontier"]))
+        bpath = self.store.bloom_path(0)
+        bloom.save(bpath)
+        self.store.set_bloom(bpath)
+        n = self.spark.read.parquet(self.store.manifest["frontier"]).count()
+        self.store.manifest["counters"]["frontier_rows"] = n
+        self.store.commit()
+
+    # ------------------------------------------------------------------
+    def _fetch(self, batch: DataFrame, n_batch: int) -> DataFrame:
+        """J1: the hot join. The batch side is broadcast (pages streams
+        through unshuffled — at 100 TB a shuffle of the html column per
+        superstep would dominate everything; on a real cluster this is
+        the runtime-bloom/DPP + bucketing story, SURVEY.md §4.1)."""
+        b = batch.select("url", "host", "path", "root_seed", "depth", "host_rank")
+        if n_batch <= self.cfg.broadcast_batch_limit:
+            b = F.broadcast(b)
+        return self.pages.join(b, "url", "inner")
+
+    # ------------------------------------------------------------------
+    def run_superstep(self) -> dict:
+        """Execute one superstep; returns its counter summary."""
+        cfg = self.cfg
+        spark = self.spark
+        store = self.store
+        s = store.manifest["superstep"] + 1
+        t0 = time.monotonic()
+
+        frontier = store.read_frontier().persist(StorageLevel.MEMORY_AND_DISK)
+        batch = politeness_take(
+            frontier,
+            self.robots,
+            cfg.budget_ms,
+            cfg.max_k,
+            cfg.n_salts,
+            cfg.default_crawl_delay_ms,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            frontier.unpersist()
+            return {"superstep": s, "fetched": 0, "done": True}
+
+        # crawl order evidence (golden contract)
+        store.write_delta(
+            "crawl_log",
+            batch.select(
+                "url",
+                "host",
+                F.lit(s).cast("long").alias("superstep"),
+                F.col("host_rank").cast("long").alias("host_rank"),
+                F.lit(0).cast("long").alias("seq"),
+            ),
+            s,
+        )
+
+        fetched = (
+            self._fetch(batch, n_batch)
+            .withColumn("kind", _kind_col())
+            .withColumn("site", _site_col())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        kind_counts = {
+            r["kind"]: r["count"]
+            for r in fetched.groupBy("kind").count().collect()
+        }
+        n_cat = kind_counts.get("category", 0)
+        n_listing = kind_counts.get("listing", 0)
+        n_detail = kind_counts.get("detail", 0)
+
+        successors: list[DataFrame] = []
+        error_frames: list[DataFrame] = []
+
+        # 404s: fetched but absent from the corpus → quarantine (S6)
+        missing = batch.join(self.pages.select("url"), "url", "left_anti")
+        error_frames.append(
+            missing.select(
+                "url",
+                F.lit(s).cast("long").alias("superstep"),
+                F.lit("missing-page").alias("error"),
+                F.lit(None).cast("binary").alias("raw"),
+            )
+        )
+
+        details = None
+        if n_detail:
+            details = extract_details(
+                fetched.filter(F.col("kind") == "detail")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._emit_detail_outputs(details, s, successors, error_frames)
+        if n_cat or n_listing:
+            cats = (
+                extract_categories(fetched.filter(F.col("kind") == "category"))
+                if n_cat
+                else None
+            )
+            self._emit_listing_outputs(
+                cats, n_cat, n_listing, fetched, s, successors, error_frames
+            )
+
+        # ---- frontier update: succ ∖ (seen ∪ frontier), first-wins ----
+        remaining = frontier.join(batch.select("url"), "url", "left_anti")
+        new_rows = self._new_frontier_rows(successors, remaining, batch, s)
+        n_new = new_rows.count() if new_rows is not None else 0
+
+        errors = error_frames[0]
+        for e in error_frames[1:]:
+            errors = errors.unionByName(e)
+        errors = errors.persist()
+        n_err = errors.count()
+        if n_err:
+            store.write_delta("errors", errors, s)
+
+        store.write_delta(
+            "url_seen",
+            batch.select("url", F.lit(s).cast("long").alias("superstep")),
+            s,
+        )
+
+        frontier_next = remaining.select(*_FRONTIER_COLS)
+        if new_rows is not None:
+            frontier_next = frontier_next.unionByName(
+                new_rows.select(*_FRONTIER_COLS)
+            )
+        store.write_frontier(frontier_next, s)
+
+        # ---- bloom: add fetched urls + newly admitted frontier urls ----
+        delta_urls = batch.select("url")
+        if new_rows is not None:
+            delta_urls = delta_urls.unionByName(new_rows.select("url"))
+        self.bloom.add_df(delta_urls)
+        bpath = store.bloom_path(s)
+        self.bloom.save(bpath)
+        store.set_bloom(bpath)
+
+        # ---- per-partition lineage counters (north rule) ----
+        self._write_checkpoint(s, frontier, batch, new_rows, n_err)
+
+        c = store.manifest["counters"]
+        c["pages_fetched"] = c.get("pages_fetched", 0) + n_batch
+        c["frontier_rows"] = c.get("frontier_rows", 0) - n_batch + n_new
+        store.manifest["superstep"] = s
+        store.commit()
+
+        for df in (batch, fetched, frontier):
+            df.unpersist()
+        if details is not None:
+            details.unpersist()
+        errors.unpersist()
+        return {
+            "superstep": s,
+            "fetched": n_batch,
+            "new_urls": n_new,
+            "errors": n_err,
+            "frontier_rows": c["frontier_rows"],
+            "secs": round(time.monotonic() - t0, 3),
+            "done": c["frontier_rows"] == 0,
+        }
+
+    # ------------------------------------------------------------------
+    def _emit_detail_outputs(self, details, s, successors, error_frames):
+        """Entity deltas (brands J2, products, img_cache J4) + variant
+        successors (J6/§3.3) from parsed detail pages."""
+        store = self.store
+        ok = details.filter(F.col("ok"))
+
+        # brands: lookup-or-insert, first-wins in batch order (host, rank)
+        existing_brands = store.read("brands")
+        w = Window.partitionBy("brand_id").orderBy("host", "host_rank")
+        new_brands = (
+            ok.filter(F.col("brand_id").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("brand_id").alias("id"),
+                F.col("brand_name"),
+                F.col("brand_img"),
+            )
+            .join(existing_brands.select("id"), "id", "left_anti")
+        )
+        store.write_delta("brands", new_brands, s)
+        brands_state = store.read("brands")
+
+        # products: append one row per crawled detail page, brand fields
+        # resolved against the post-insert brand state (J2)
+        prod = (
+            ok.drop("brand_name", "brand_img")
+            .join(
+                F.broadcast(
+                    brands_state.select(
+                        F.col("id").alias("brand_id"),
+                        F.col("brand_name"),
+                        F.col("brand_img"),
+                    )
+                ),
+                "brand_id",
+                "left",
+            )
+            .select(
+                F.col("product_id").alias("id"),
+                "product_code",
+                "brand_id",
+                "brand_name",
+                "brand_img",
+                _qparam("category").alias("category_id"),
+                "style",
+                "name",
+                "sale_price",
+                "cost_price",
+                "custom_price",
+                "main_imgs",
+                "detail_imgs",
+                "specifications",
+                "thumbnails",
+                "features",
+                F.col("text_extracted").alias("text"),
+                "url",
+            )
+        )
+        store.write_delta("products", prod, s)
+
+        # img_cache: md5-keyed insert-if-absent (J4 / BaseSpider.cs:275-287)
+        links = ok.select(F.explode("img_links").alias("link")).distinct()
+        self._append_img_cache(links, s)
+
+        # variant successors extend the parent's own path (§3.3)
+        succ = (
+            ok.select(
+                "site",
+                "host",
+                F.col("url").alias("parent_url"),
+                "root_seed",
+                "depth",
+                F.col("path").alias("_ppath"),
+                _qparam("category").alias("_cat"),
+                F.posexplode("variant_ids").alias("_vpos0", "_vid"),
+            )
+            .withColumn(
+                "url",
+                F.expr(_DETAIL_URL.format(pid="_vid", cat="_cat")),
+            )
+            .withColumn(
+                "path",
+                F.concat(
+                    F.col("_ppath"),
+                    F.lit("/"),
+                    F.format_string("%010d", F.col("_vpos0") + 1),
+                ),
+            )
+        )
+        successors.append(succ)
+        error_frames.append(
+            details.filter(~F.col("ok")).select(
+                "url",
+                F.lit(s).cast("long").alias("superstep"),
+                F.col("err").alias("error"),
+                F.col("html").alias("raw"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _emit_listing_outputs(
+        self, cats, n_cat, n_listing, fetched, s, successors, error_frames
+    ):
+        """Categories entity (insert-if-absent J7, global seq for the
+        stale-first seed order O1/P1) + listing/pagination successors S3."""
+        store = self.store
+        spark = self.spark
+
+        if n_cat:
+            exploded = cats.filter(F.col("ok")).select(
+                "url",
+                "site",
+                "host",
+                "host_rank",
+                "root_seed",
+                "depth",
+                F.posexplode("cat_rows").alias("pos", "c"),
+            )
+            existing = (
+                store.read("categories")
+                if store.has_rows("categories")
+                else None
+            )
+            w = Window.partitionBy("id").orderBy("host", "host_rank", "pos")
+            wseq = Window.orderBy("host", "host_rank", "pos")
+            max_seq = store.manifest["counters"].get("max_cat_seq", 0)
+            new_cats = (
+                exploded.select(
+                    F.col("c.id").alias("id"),
+                    F.col("c.category_name").alias("category_name"),
+                    F.col("c.category_img_link").alias("_img_link"),
+                    F.col("c.parent_id").alias("parent_id"),
+                    "host",
+                    "host_rank",
+                    "pos",
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+            )
+            if existing is not None:
+                new_cats = new_cats.join(
+                    existing.select("id"), "id", "left_anti"
+                )
+            from .extract import upload_url_sql
+
+            new_cats = (
+                new_cats.withColumn("seq", F.row_number().over(wseq) + max_seq)
+                .withColumn(
+                    "category_img",
+                    F.when(
+                        F.col("_img_link").isNotNull()
+                        & (F.col("_img_link") != ""),
+                        F.expr(upload_url_sql("_img_link")),
+                    ).otherwise(F.lit("")),
+                )
+                .persist()
+            )
+            n_new_cats = new_cats.count()
+            store.write_delta(
+                "categories",
+                new_cats.select(
+                    "id", "category_name", "category_img", "parent_id", "seq"
+                ),
+                s,
+            )
+            store.manifest["counters"]["max_cat_seq"] = max_seq + n_new_cats
+            self._append_img_cache(
+                new_cats.filter(
+                    F.col("_img_link").isNotNull() & (F.col("_img_link") != "")
+                ).select(F.col("_img_link").alias("link")),
+                s,
+                suffix="cat",
+            )
+            new_cats.unpersist()
+            error_frames.append(
+                cats.filter(~F.col("ok")).select(
+                    "url",
+                    F.lit(s).cast("long").alias("superstep"),
+                    F.col("err").alias("error"),
+                    F.col("html").alias("raw"),
+                )
+            )
+
+        # seed index: rank of leaf categories in global insertion order
+        # (the reference's OrderBy(UpdateDate) seed priority, O1/P1)
+        seed_idx = (
+            store.read("categories")
+            .filter(F.col("parent_id").isNotNull())
+            .withColumn("sidx", F.row_number().over(Window.orderBy("seq")) - 1)
+            .select(F.col("id").alias("_cat"), "sidx")
+        )
+
+        if n_cat:
+            # listing page-1 successors for every leaf on the page
+            succ_cat = (
+                cats.filter(F.col("ok"))
+                .select(
+                    "site",
+                    "host",
+                    F.col("url").alias("parent_url"),
+                    "root_seed",
+                    "depth",
+                    F.explode("cat_rows").alias("c"),
+                )
+                .filter(F.col("c.parent_id").isNotNull())
+                .withColumn("_cat", F.col("c.id"))
+                .join(F.broadcast(seed_idx), "_cat", "inner")
+                .withColumn(
+                    "url", F.expr(_LISTING_URL.format(cat="_cat", page="1"))
+                )
+                .withColumn("path", _path3(F.col("sidx"), F.lit(1), F.lit(0)))
+            )
+            successors.append(succ_cat)
+
+        if n_listing:
+            lst = extract_listings(fetched.filter(F.col("kind") == "listing"))
+            lok = (
+                lst.filter(F.col("ok"))
+                .withColumn("_cat", _qparam("category"))
+                .join(F.broadcast(seed_idx), "_cat", "left")
+                .withColumn(
+                    "sidx", F.coalesce(F.col("sidx"), F.lit(10**9))
+                )
+            )
+            # detail successors, 1-based row position
+            succ_detail = (
+                lok.select(
+                    "site",
+                    "host",
+                    F.col("url").alias("parent_url"),
+                    "root_seed",
+                    "depth",
+                    "sidx",
+                    "page_index",
+                    "_cat",
+                    F.posexplode("row_ids").alias("_pos0", "_pid"),
+                )
+                .withColumn(
+                    "url", F.expr(_DETAIL_URL.format(pid="_pid", cat="_cat"))
+                )
+                .withColumn(
+                    "path",
+                    _path3(
+                        F.col("sidx"), F.col("page_index"), F.col("_pos0") + 1
+                    ),
+                )
+            )
+            successors.append(succ_detail)
+            # next-page successor while page_index < ceil(total/50)
+            succ_page = (
+                lok.filter(F.col("page_index") < F.col("page_count"))
+                .withColumn("parent_url", F.col("url"))
+                .withColumn(
+                    "url",
+                    F.expr(
+                        _LISTING_URL.format(cat="_cat", page="page_index + 1")
+                    ),
+                )
+                .withColumn(
+                    "path",
+                    _path3(F.col("sidx"), F.col("page_index") + 1, F.lit(0)),
+                )
+            )
+            successors.append(succ_page)
+            error_frames.append(
+                lst.filter(~F.col("ok")).select(
+                    "url",
+                    F.lit(s).cast("long").alias("superstep"),
+                    F.col("err").alias("error"),
+                    F.col("html").alias("raw"),
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def _append_img_cache(self, links: DataFrame, s: int, suffix: str = ""):
+        """Insert-if-absent into the md5-keyed image cache (J4)."""
+        from .extract import upload_url_sql, _ext  # noqa: F401
+
+        store = self.store
+        data_uri_md5 = (
+            "md5(cast(concat('data:image/', "
+            + _ext("link")
+            + ", ';base64,', base64(unhex(md5(cast(link as binary))))) "
+            "as binary))"
+        )
+        rows = (
+            links.filter(F.col("link").isNotNull() & (F.col("link") != ""))
+            .withColumn("md5_key", F.expr(data_uri_md5))
+            .withColumn("uploaded_url", F.expr(upload_url_sql("link")))
+            .dropDuplicates(["md5_key"])
+            .join(store.read("img_cache").select("md5_key"), "md5_key", "left_anti")
+            .select("md5_key", "uploaded_url")
+        )
+        store.write_delta("img_cache", rows, s)
+
+    # ------------------------------------------------------------------
+    def _new_frontier_rows(self, successors, remaining, batch, s):
+        """Canonicalize → first-wins dedup (min path) → robots gate →
+        bloom prefilter → exact anti-join backstop (U1/U3/J4 pattern)."""
+        if not successors:
+            return None
+        cfg = self.cfg
+        succ = successors[0].select(
+            "url", "host", "path", "parent_url", "root_seed", "depth"
+        )
+        for sdf in successors[1:]:
+            succ = succ.unionByName(
+                sdf.select(
+                    "url", "host", "path", "parent_url", "root_seed", "depth"
+                )
+            )
+        if cfg.canonicalize_successors:
+            succ = succ.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+                F.col("url").isNotNull()
+            )
+        # first-wins on priority path per url (oracle: sorted-(path,url)
+        # insertion; min(struct) = lexicographic min on path)
+        succ = (
+            succ.groupBy("url")
+            .agg(
+                F.min(
+                    F.struct("path", "host", "parent_url", "root_seed", "depth")
+                ).alias("m")
+            )
+            .select(
+                "url",
+                F.col("m.host").alias("host"),
+                F.col("m.path").alias("path"),
+                F.col("m.parent_url").alias("parent_url"),
+                F.col("m.root_seed").alias("root_seed"),
+                (F.col("m.depth") + 1).alias("depth"),
+            )
+        )
+        succ = robots_allowed(succ, self.robots)
+
+        # bloom prefilter: definite-new rows skip the exact anti-join
+        probe = self.bloom.probe_udf(self.spark)
+        succ = succ.withColumn("_maybe", probe(F.col("url")))
+        # seen = url_seen table ∪ this superstep's batch (its delta is not
+        # written yet — self-referencing variant successors must not
+        # re-enter) ∪ the remaining frontier
+        seen_urls = (
+            self.store.read("url_seen")
+            .select("url")
+            .unionByName(batch.select("url"))
+            .unionByName(remaining.select("url"))
+        )
+        checked = (
+            succ.filter(F.col("_maybe")).join(seen_urls, "url", "left_anti")
+        )
+        new_rows = (
+            succ.filter(~F.col("_maybe"))
+            .unionByName(checked)
+            .drop("_maybe")
+            .withColumn("superstep_added", F.lit(s).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return new_rows
+
+    # ------------------------------------------------------------------
+    def _write_checkpoint(self, s, frontier, batch, new_rows, n_err):
+        """Per-url-hash-partition lineage counters (north rule)."""
+        rows_in = {
+            r["pid"]: r["count"]
+            for r in frontier.groupBy(_ckpt_pid().alias("pid")).count().collect()
+        }
+        fetched_c = {
+            r["pid"]: r["count"]
+            for r in batch.groupBy(_ckpt_pid().alias("pid")).count().collect()
+        }
+        new_c = (
+            {
+                r["pid"]: r["count"]
+                for r in new_rows.groupBy(_ckpt_pid().alias("pid"))
+                .count()
+                .collect()
+            }
+            if new_rows is not None
+            else {}
+        )
+        rows = []
+        for pid in range(_CKPT_PARTS):
+            ri = rows_in.get(pid, 0)
+            rf = fetched_c.get(pid, 0)
+            nw = new_c.get(pid, 0)
+            rows.append(
+                (s, pid, ri, rf, ri - rf + nw, nw, n_err if pid == 0 else 0)
+            )
+        self.store.write_delta(
+            "checkpoints",
+            self.spark.createDataFrame(rows, schemas.CHECKPOINTS),
+            s,
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, max_supersteps: int | None = None) -> dict:
+        """Drive supersteps until the frontier drains (or the cap)."""
+        cap = max_supersteps or self.cfg.max_supersteps
+        done = False
+        steps = []
+        while not done and len(steps) < cap:
+            info = self.run_superstep()
+            steps.append(info)
+            done = info.get("done", False)
+        c = self.store.manifest["counters"]
+        return {
+            "supersteps": self.store.manifest["superstep"],
+            "pages_fetched": c.get("pages_fetched", 0),
+            "frontier_rows": c.get("frontier_rows", 0),
+            "steps": steps,
+        }

@@ -439,7 +439,7 @@ def extract_details(pages: DataFrame, html_col: str = "html") -> DataFrame:
     df = df.withColumn(
         "thumbnails",
         F.when(
-            F.col("thumbnails_link").isNotNull(),
+            F.col("thumbnails_link").isNotNull() & (F.col("thumbnails_link") != ""),
             F.expr(upload_url_sql("thumbnails_link")),
         ),
     )
@@ -471,7 +471,8 @@ def extract_details(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn(
             "brand_img",
             F.when(
-                F.col("brand_img_link").isNotNull(),
+                F.col("brand_img_link").isNotNull()
+                & (F.col("brand_img_link") != ""),
                 F.expr(upload_url_sql("brand_img_link")),
             ),
         )

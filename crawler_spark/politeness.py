@@ -1,0 +1,99 @@
+"""Politeness scheduler: per-registrable-domain take-k with salted
+two-phase top-k (SURVEY.md §4.2-1/2, M5).
+
+Replaces the reference's bounded task pool + random sleeps
+(BaseSpider.cs:96-102,139) with deterministic budget arithmetic:
+``k(host) = min(max_k, max(1, budget_ms // crawl_delay_ms))`` per
+superstep (oracle.host_budget — the shared contract).
+
+Skew handling: a mega-host with 10^8 pending URLs must not serialize one
+window partition. Selection is therefore ALWAYS two-phase exact top-k:
+
+  phase 1  rank within (host, salt) — ``n_salts`` parallel partitions per
+           host, each keeps its local top-k,
+  phase 2  rank the ≤ n_salts·k survivors per host globally.
+
+Per-salt top-k is a superset of the global top-k, so the result is exact;
+phase 2's input is bounded by n_salts·k rows per host regardless of
+pending-count skew. Priority order is ``(path, url)`` — the lexicographic
+discovery path that encodes (seed staleness order, page index, row
+position, variant position), matching the reference's crawl order
+(ShiweijiaProduct.cs:50 seed order; SURVEY.md §7.3-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_budget(
+    frontier: DataFrame,
+    robots: DataFrame,
+    budget_ms: int,
+    max_k: int,
+    default_delay_ms: int = 3000,
+) -> DataFrame:
+    """Join per-host crawl budget k onto the frontier (broadcast robots)."""
+    r = robots.select("host", "crawl_delay_ms")
+    f = frontier.join(F.broadcast(r), "host", "left").withColumn(
+        "_delay", F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
+    )
+    return f.withColumn(
+        "k",
+        F.when(F.col("_delay") <= 0, F.lit(max_k)).otherwise(
+            F.least(
+                F.lit(max_k),
+                F.greatest(
+                    F.lit(1), (F.lit(budget_ms) / F.col("_delay")).cast("long")
+                ),
+            )
+        ),
+    ).drop("crawl_delay_ms", "_delay")
+
+
+def politeness_take(
+    frontier: DataFrame,
+    robots: DataFrame,
+    budget_ms: int,
+    max_k: int,
+    n_salts: int = 8,
+    default_delay_ms: int = 3000,
+) -> DataFrame:
+    """Select this superstep's batch: per host the top-k pending URLs in
+    (path, url) order, k from the robots crawl-delay budget. Output keeps
+    all frontier columns and adds ``host_rank`` (1-based, per host)."""
+    f = with_budget(frontier, robots, budget_ms, max_k, default_delay_ms)
+    f = f.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy("path", "url")
+    cand = f.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("k")
+    )
+    w2 = Window.partitionBy("host").orderBy("path", "url")
+    return (
+        cand.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= F.col("k"))
+        .drop("_salt", "_r1", "k")
+    )
+
+
+def robots_allowed(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """Filter rows whose URL path hits a disallow prefix for its host
+    (robots gate; reference analog: none — single-API crawler — this is
+    the north-rule robots enforcement). Expects ``url`` + ``host``."""
+    r = robots.select("host", "disallow_prefixes")
+    return (
+        df.join(F.broadcast(r), "host", "left")
+        .withColumn(
+            "_path",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        )
+        .filter(
+            F.col("disallow_prefixes").isNull()
+            | ~F.expr(
+                "exists(disallow_prefixes, p -> startswith(_path, p))"
+            )
+        )
+        .drop("disallow_prefixes", "_path")
+    )

@@ -1,0 +1,154 @@
+"""Superstep state store: Iceberg-style snapshot/manifest semantics on
+plain parquet (M6, SURVEY.md §4.2-4, §7.3-5).
+
+The sandbox image has no Iceberg jars, so the store reproduces the part
+of Iceberg the engine contract needs — atomic snapshot commits with
+exact resume — directly:
+
+- every table is an append-only set of per-superstep *delta* directories
+  (``<root>/<table>/delta-<s>``); the frontier is fully versioned
+  (``<root>/frontier/v<s>``),
+- a JSON *manifest* names exactly the deltas/versions that are committed;
+  it is replaced atomically (tmp + ``os.replace``) and IS the commit
+  point — write order: entity tables → url_seen → frontier → bloom →
+  manifest (SURVEY.md §7.3-5),
+- on open, delta dirs not named by the manifest (a killed superstep's
+  partial writes) are deleted; the superstep then re-runs
+  deterministically, so resume output is byte-identical to an
+  uninterrupted run (tested).
+
+On a real cluster this maps 1:1 onto Iceberg: delta dir → snapshot
+append, manifest → Iceberg metadata pointer swap, cleanup → orphan-file
+removal. Lineage/counters land in the ``checkpoints`` table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+TABLES = {
+    "url_seen": schemas.URL_SEEN,
+    "crawl_log": schemas.CRAWL_LOG,
+    "categories": None,  # schema carried by parquet (has seq column)
+    "brands": schemas.BRANDS,
+    "products": None,
+    "img_cache": schemas.IMG_CACHE,
+    "errors": schemas.ERRORS,
+    "checkpoints": schemas.CHECKPOINTS,
+}
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str, fresh: bool = False):
+        self.spark = spark
+        self.root = root
+        if fresh and os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(root, exist_ok=True)
+        self.manifest = self._load_manifest()
+        self._cleanup_uncommitted()
+
+    # -- manifest -----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {
+            "superstep": 0,
+            "tables": {t: [] for t in TABLES},
+            "frontier": None,
+            "bloom": None,
+            "counters": {"max_cat_seq": 0, "pages_fetched": 0},
+        }
+
+    def commit(self) -> None:
+        """Atomic manifest swap — THE commit point of a superstep."""
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def _cleanup_uncommitted(self) -> None:
+        """Remove partial writes from a killed superstep (exact resume)."""
+        for table, committed in self.manifest["tables"].items():
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            keep = {os.path.basename(p) for p in committed}
+            for d in os.listdir(tdir):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        fdir = os.path.join(self.root, "frontier")
+        if os.path.isdir(fdir):
+            keep_f = (
+                {os.path.basename(self.manifest["frontier"])}
+                if self.manifest["frontier"]
+                else set()
+            )
+            for d in os.listdir(fdir):
+                if d not in keep_f:
+                    shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
+        committed_bloom = self.manifest.get("bloom")
+        for fn in os.listdir(self.root):
+            full = os.path.join(self.root, fn)
+            if (
+                os.path.isfile(full)
+                and fn.startswith("bloom-")
+                and full != committed_bloom
+            ):
+                os.remove(full)
+
+    # -- reads --------------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        paths = self.manifest["tables"][table]
+        if not paths:
+            schema = TABLES[table]
+            if schema is None:
+                raise ValueError(f"no deltas and no static schema for {table}")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def has_rows(self, table: str) -> bool:
+        return bool(self.manifest["tables"][table])
+
+    def read_frontier(self) -> DataFrame | None:
+        p = self.manifest["frontier"]
+        return self.spark.read.parquet(p) if p else None
+
+    # -- writes (staged; durable only after commit()) -----------------------
+    def write_delta(self, table: str, df: DataFrame, superstep: int) -> str:
+        path = os.path.join(self.root, table, f"delta-{superstep:06d}")
+        df.write.mode("overwrite").parquet(path)
+        self.manifest["tables"][table].append(path)
+        return path
+
+    def write_frontier(self, df: DataFrame, superstep: int) -> str:
+        path = os.path.join(self.root, "frontier", f"v{superstep:06d}")
+        df.write.mode("overwrite").parquet(path)
+        old = self.manifest["frontier"]
+        self.manifest["frontier"] = path
+        # retain only the previous committed version for debugging; GC rest
+        fdir = os.path.join(self.root, "frontier")
+        for d in os.listdir(fdir):
+            full = os.path.join(fdir, d)
+            if full not in (path, old):
+                shutil.rmtree(full, ignore_errors=True)
+        return path
+
+    def bloom_path(self, superstep: int) -> str:
+        return os.path.join(self.root, f"bloom-{superstep:06d}.npz")
+
+    def set_bloom(self, path: str) -> None:
+        # stale bloom files are GC'd on next open (_cleanup_uncommitted),
+        # never here: the old file must survive until commit() lands.
+        self.manifest["bloom"] = path
