@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Each operator exists as a (Spark SQL, DuckDB SQL) pair over the
+`documents` / `embeddings` tables; the two dialects implement the SAME
+deterministic computation so the driver's DuckDB cross-check verifies
+values, not just shapes. All Spark-side logic is JVM expressions.
+
+Scale design notes (100 TB corpus):
+- exact: one hash-partitioned groupBy on md5(text) — a single shuffle of
+  (16-byte key, doc_id); map-side partial aggregation applies.
+- ngram-jaccard: shingle explosion is the candidate *blocking* step —
+  the pair join shuffles on the shingle key, so common shingles are the
+  skew risk; at scale you cap shingle document-frequency (drop shingles
+  appearing in > DF_MAX docs — they carry no discriminative signal and
+  quadratic-blow-up the join). The DF cap is part of the operator.
+- minhash-LSH: fixed-width signatures (16 hashes → 4 bands × 4 rows)
+  mean the candidate join shuffles only (band_key, doc_id) pairs —
+  independent of document length; the classic 10^10-doc design.
+- simhash: 64-bit fingerprints via per-token nibble bits; pairs are
+  confirmed by Hamming distance. At scale candidates come from banding
+  the fingerprint (4×16-bit chunks, Pigeonhole: any pair within
+  Hamming≤3 shares a chunk); the small-corpus variant compares all
+  pairs in-query.
+- embedding-cosine: brute-force pair join under a blocking threshold;
+  the ANN path lives in operators/similarity.py.
+
+The minhash family uses lexicographic MIN over salted md5 hex digests —
+a portable minhash family (128-bit uniform hashes; string order ==
+numeric order on fixed-width hex), identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from .textprep import duck_shingle_sql, spark_shingle_sql
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+DF_CAP = 200  # shingle document-frequency cap (skew guard)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy, keep min doc_id per content hash
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_SPARK = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+DEDUP_EXACT_DUCK = DEDUP_EXACT_SPARK  # identical dialect-neutral SQL
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard dedup (shingle-blocked pair join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_spark(n: int = 2, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS ({spark_shingle_sql(n)}),
+freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON s.sh = f.sh
+        WHERE f.df <= {DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+"""
+
+
+def ngram_jaccard_duck(n: int = 2, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS ({duck_shingle_sql(n)}),
+freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON s.sh = f.sh
+        WHERE f.df <= {DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH banding
+# ---------------------------------------------------------------------------
+
+def _minhash_aggs() -> str:
+    return ",\n       ".join(
+        f"min(md5(concat('{j}:', sh))) AS mh{j}" for j in range(N_HASHES)
+    )
+
+
+def _duck_minhash_aggs() -> str:
+    return ",\n       ".join(
+        f"min(md5('{j}:' || sh)) AS mh{j}" for j in range(N_HASHES)
+    )
+
+
+def _band_rows(concat_fn) -> str:
+    """band_id → band_key rows via a stacked UNION (portable, no UDTF)."""
+    parts = []
+    for b in range(N_BANDS):
+        cols = concat_fn(
+            [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM mh"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def minhash_lsh_spark(n: int = 2, threshold: float = 0.5) -> str:
+    bands = _band_rows(lambda cs: "concat(" + ", ".join(cs) + ")")
+    return f"""
+WITH sh AS ({spark_shingle_sql(n)}),
+mh AS (SELECT doc_id, {_minhash_aggs()} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+FROM cand c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+"""
+
+
+def minhash_lsh_duck(n: int = 2, threshold: float = 0.5) -> str:
+    bands = _band_rows(lambda cs: " || ".join(cs))
+    return f"""
+WITH sh AS ({duck_shingle_sql(n)}),
+mh AS (SELECT doc_id, {_duck_minhash_aggs()} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+FROM cand c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash: 64-bit fingerprint from token-frequency-weighted md5 nibble bits
+# ---------------------------------------------------------------------------
+
+def _simhash_bit_spark(j: int) -> str:
+    pos, shift = j // 4 + 1, 3 - j % 4
+    nib = f"cast(conv(substring(md5(word), {pos}, 1), 16, 10) as int)"
+    return (
+        f"CASE WHEN pmod(cast({nib} div {1 << shift} as int), 2) = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+def _simhash_bit_duck(j: int) -> str:
+    pos, shift = j // 4 + 1, 3 - j % 4
+    nib = f"('0x' || substring(md5(word), {pos}, 1))::INTEGER"
+    return f"CASE WHEN (({nib} // {1 << shift}) % 2) = 1 THEN 1 ELSE -1 END"
+
+
+def _simhash_select(bit_fn) -> str:
+    sums = ",\n       ".join(
+        f"sum({bit_fn(j)}) AS s{j}" for j in range(64)
+    )
+    fp = ", ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(64)
+    )
+    return sums, f"concat({fp})"
+
+
+def simhash_fingerprints_spark() -> str:
+    sums, fp = _simhash_select(_simhash_bit_spark)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, explode(filter(split(text, '\\\\s+'), x -> x != '')) AS word
+  FROM documents),
+bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM bits
+"""
+
+
+def simhash_fingerprints_duck() -> str:
+    sums, fp = _simhash_select(_simhash_bit_duck)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x <> '')) AS word
+  FROM documents),
+bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM bits
+"""
+
+
+def simhash_pairs_spark(max_hamming: int = 8) -> str:
+    base = simhash_fingerprints_spark()
+    return f"""
+WITH fp AS ({base})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       size(filter(sequence(1, 64),
+            i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))
+         AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE size(filter(sequence(1, 64),
+      i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))
+      <= {max_hamming}
+"""
+
+
+def simhash_pairs_duck(max_hamming: int = 8) -> str:
+    base = simhash_fingerprints_duck()
+    return f"""
+WITH fp AS ({base})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       hamming(a.simhash, b.simhash) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE hamming(a.simhash, b.simhash) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (brute force; ANN path in similarity.py)
+# ---------------------------------------------------------------------------
+
+# dot/norm computed as a sequential left-fold over index order in double
+# precision in BOTH engines → bit-comparable before rounding.
+_SPARK_DOT = (
+    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+)
+
+
+def embedding_pairs_spark(threshold: float = 0.35) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_SPARK_DOT} /
+         ({_SPARK_NORM.format(v='a.v')} * {_SPARK_NORM.format(v='b.v')})
+           AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM p WHERE cos >= {threshold}
+"""
+
+
+def embedding_pairs_duck(threshold: float = 0.35) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM p WHERE cos >= {threshold}
+"""

@@ -1,0 +1,109 @@
+"""Property tests: bloom no-false-negatives + fpp bound, canonicalizer
+idempotence, politeness take-k exactness under skew (SURVEY.md §5-4)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from crawler_spark.bloom import PartitionedBloom
+from crawler_spark.urltools import canonicalize_url, registrable_domain
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    urls = [f"https://h{i % 97}.example.com/p/{i}" for i in range(20_000)]
+    b = PartitionedBloom(n_partitions=8, m_bits=1 << 17, k=5)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    b.add_df(df)
+    # zero false negatives (driver-side probe)
+    for u in urls[::37]:
+        assert b.contains(u)
+    # distributed probe agrees and bounds false positives
+    probe = b.probe_udf(spark)
+    other = [f"https://h{i % 89}.other.net/q/{i}" for i in range(20_000)]
+    odf = spark.createDataFrame([(u,) for u in other], "url string")
+    fp = odf.withColumn("m", probe("url")).filter("m").count()
+    assert fp / len(other) < 0.05, f"fpp too high: {fp}"
+    # round-trip persistence
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "bloom.npz")
+        b.save(p)
+        b2 = PartitionedBloom.load(p)
+        assert (b2.bits == b.bits).all()
+        assert b2.contains(urls[0])
+
+
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + ":/?#@%.~-_&= ",
+        max_size=80,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(s):
+    c = canonicalize_url(s)
+    if c is not None:
+        assert canonicalize_url(c) == c
+
+
+def test_canonicalize_contract():
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/../b//c#frag": "http://www.example.com/b/c",
+        "https://x.co.uk:443/p/?q=1#z": "https://x.co.uk/p/?q=1",
+        "https://x.com:8443/": "https://x.com:8443/",
+        "mailto:a@b.com": None,
+        "javascript:void(0)": None,
+        "https://x.com": "https://x.com/",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw
+    assert canonicalize_url("../up", base="https://h.com/a/b/c") == "https://h.com/a/up"
+    assert registrable_domain("a.b.shop.example.co.uk") == "example.co.uk"
+    assert registrable_domain("https://sub.domain.com/x") == "domain.com"
+
+
+def test_politeness_exact_topk_under_skew(spark):
+    """Salted two-phase selection must equal the naive global top-k even
+    with one mega-host holding ~90% of the frontier."""
+    from crawler_spark.politeness import politeness_take
+
+    rows = []
+    for i in range(9_000):
+        rows.append((f"https://mega.com/p/{i:06d}", "mega.com", f"{i:010d}"))
+    for h in range(20):
+        for i in range(50):
+            rows.append(
+                (f"https://h{h}.net/p/{i:04d}", f"h{h}.net", f"{i:010d}")
+            )
+    frontier = spark.createDataFrame(rows, "url string, host string, path string")
+    robots = spark.createDataFrame(
+        [("mega.com", 0, [])]
+        + [(f"h{h}.net", 3000, []) for h in range(20)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    batch = politeness_take(
+        frontier, robots, budget_ms=30_000, max_k=100, n_salts=8
+    )
+    got = {
+        (r.host, r.host_rank): r.url
+        for r in batch.collect()
+    }
+    # mega: k = max_k = 100; others: 30000/3000 = 10
+    per_host = {}
+    for (h, rk), u in got.items():
+        per_host.setdefault(h, []).append((rk, u))
+    assert len(per_host["mega.com"]) == 100
+    assert sorted(u for _, u in per_host["mega.com"]) == [
+        f"https://mega.com/p/{i:06d}" for i in range(100)
+    ]
+    for h in range(20):
+        urls = sorted(per_host[f"h{h}.net"])
+        assert len(urls) == 10
+        # ranks must follow (path, url) order exactly
+        ranked = sorted(per_host[f"h{h}.net"])
+        assert [u for _, u in ranked] == [
+            f"https://h{h}.net/p/{i:04d}" for i in range(10)
+        ]

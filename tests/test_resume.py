@@ -1,0 +1,72 @@
+"""M6: kill/resume exactness — a crawl interrupted after superstep k and
+resumed in a fresh engine instance must produce state byte-identical to an
+uninterrupted run (checkpoint contract, SURVEY.md §4.2-4 / §7.3-5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from crawler_spark.engine import CrawlEngine, EngineConfig
+
+CFG = dict(budget_ms=30_000, max_k=1_000)
+
+
+def _mk(spark, smoke_dir, state, fresh):
+    return CrawlEngine(
+        spark,
+        pages_path=f"{smoke_dir}/pages.parquet",
+        seeds_path=f"{smoke_dir}/seeds.parquet",
+        robots_path=f"{smoke_dir}/robots.parquet",
+        state_dir=state,
+        config=EngineConfig(**CFG),
+        fresh=fresh,
+    )
+
+
+def _snapshot(spark, eng):
+    out = {}
+    for table in ("crawl_log", "url_seen", "products", "categories", "brands",
+                  "img_cache", "checkpoints"):
+        try:
+            df = eng.store.read(table)
+        except ValueError:
+            out[table] = None
+            continue
+        out[table] = sorted(map(tuple, df.collect()))
+    return out
+
+
+def test_kill_and_resume_identical(spark, smoke_dir, tmp_path):
+    ref_state = str(tmp_path / "ref")
+    cut_state = str(tmp_path / "cut")
+
+    ref = _mk(spark, smoke_dir, ref_state, fresh=True)
+    ref.run(max_supersteps=100)
+
+    # interrupted run: stop after 3 supersteps, simulate a mid-superstep
+    # crash by scribbling partial uncommitted deltas, then resume with a
+    # brand-new engine instance
+    eng = _mk(spark, smoke_dir, cut_state, fresh=True)
+    for _ in range(3):
+        eng.run_superstep()
+    junk = os.path.join(cut_state, "url_seen", "delta-999999")
+    os.makedirs(junk, exist_ok=True)
+    with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+        f.write("partial write from a killed superstep")
+    shutil.copytree(
+        os.path.join(cut_state, "frontier"),
+        os.path.join(cut_state, "frontier-junkcheck"),
+        dirs_exist_ok=True,
+    )
+
+    resumed = _mk(spark, smoke_dir, cut_state, fresh=False)
+    assert resumed.store.manifest["superstep"] == 3
+    assert not os.path.exists(junk), "uncommitted delta must be GC'd on open"
+    resumed.run(max_supersteps=100)
+
+    a = _snapshot(spark, ref)
+    b = _snapshot(spark, resumed)
+    assert a.keys() == b.keys()
+    for table in a:
+        assert a[table] == b[table], f"{table} differs after resume"
