@@ -1,38 +1,77 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — run the distributed crawl engine on the
+  bundled deterministic smoke corpus (category → listing → detail
+  supersteps with politeness budgets, bloom URL-seen, checkpointing)
+  and return the extracted ``products`` table, whose ``text`` column is
+  byte-identical per URL to the reference semantics.
+- ``queries()`` / ``oracle_sql()``: every SURVEY.md §2 operator id plus
+  the training-data operators, DuckDB-cross-checked where
+  SQL-expressible (see crawler_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_FIXTURE_ROOT = os.path.join(_REPO, ".fixtures")
+
+
+def _smoke_dir() -> str:
+    from crawler_spark import fixtures as fx
+    from crawler_spark.urltools import registrable_domain
+
+    return fx.ensure_corpus(fx.SMOKE, _FIXTURE_ROOT, registrable_domain)
+
+
+def _run_crawl(spark: SparkSession, max_supersteps: int = 4) -> DataFrame:
+    """A short high-budget crawl: supersteps reach the product-detail
+    frontier depth and emit extracted products."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    d = _smoke_dir()
+    eng = CrawlEngine(
+        spark,
+        pages_path=f"{d}/pages.parquet",
+        seeds_path=f"{d}/seeds.parquet",
+        robots_path=f"{d}/robots.parquet",
+        state_dir=os.path.join(_FIXTURE_ROOT, "entry-state"),
+        config=EngineConfig(budget_ms=600_000, max_k=100_000),
+        fresh=True,
+    )
+    eng.run(max_supersteps=max_supersteps)
+    return eng.store.read("products")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query; driver checks it runs and yields rows>0."""
+    return _run_crawl(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, q in all_queries().items():
+        out[name] = (lambda qq: lambda spark, sf_dir: qq.run(spark, sf_dir))(q)
+    # the crawl engine itself (non-SQL superstep loop; rows-only check)
+    out["crawl_flagship"] = lambda spark, sf_dir: _run_crawl(spark)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_spark.queries import all_queries
+
+    return {
+        name: q.oracle
+        for name, q in all_queries().items()
+        if q.oracle is not None
+    }

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline crawl throughput + operator suite timings.
+
+Prints ONE JSON line:
+  {"metric": "crawl_pages_per_sec", "value": <total_sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, "pages_per_sec": ...,
+   "crawl": {...}}
+
+Environment:
+  SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+  BENCH_PRODUCTS       synthetic crawl corpus size (default 60000)
+  BENCH_SKIP_CRAWL     set to skip the crawl stage (query-only run)
+
+The crawl stage generates (once, cached under .fixtures/) a Zipf-skewed
+multi-host corpus and drains it with high-budget supersteps; throughput
+is pages fetched / wall-clock. The scaling study (local[8] vs local[32]
+on the same corpus → BENCH.md) is driven by scripts/scaling_study.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from crawler_spark.session import get_spark  # noqa: E402
+
+# operator suite timed at the sf dir (heavy all-pairs ops excluded —
+# they are correctness fixtures, not throughput paths)
+BENCH_QUERIES = [
+    "j1_fetch_join",
+    "j2_brand_lookup",
+    "j3_parent_lookup",
+    "a1_group_counts",
+    "o2_first_match",
+    "u1_union_distinct",
+    "w1_window_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "text_simhash",
+    "ann_brute_topk",
+    "mm_decode_features",
+]
+
+
+def _force(df) -> int:
+    """Materialize the full result without collecting it to the driver."""
+    return df.write.mode("overwrite").format("noop").save() or 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from crawler_spark.queries import all_queries
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _force(qs[name].run(spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, n_products: int, state_root: str) -> dict:
+    from crawler_spark import fixtures as fx
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.urltools import registrable_domain
+
+    spec = fx.bench_spec(n_products=n_products)
+    corpus_dir = fx.ensure_corpus(
+        spec, os.path.join(_REPO, ".fixtures"), registrable_domain
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=f"{corpus_dir}/pages.parquet",
+        seeds_path=f"{corpus_dir}/seeds.parquet",
+        robots_path=f"{corpus_dir}/robots.parquet",
+        state_dir=state_root,
+        config=EngineConfig(
+            budget_ms=3_600_000,  # 1h-budget supersteps (bench cadence)
+            max_k=500_000,
+            bloom_bits=1 << 21,
+        ),
+        fresh=True,
+    )
+    t0 = time.monotonic()
+    summary = eng.run(max_supersteps=60)
+    wall = time.monotonic() - t0
+    fetched = summary["pages_fetched"]
+    return {
+        "corpus": os.path.basename(corpus_dir),
+        "pages_fetched": fetched,
+        "supersteps": summary["supersteps"],
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(fetched / wall, 1) if wall else 0.0,
+        "frontier_rows_left": summary["frontier_rows"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    spark = get_spark(
+        "crawler-spark-bench", cores=int(cpus) if cpus else None
+    )
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    queries: dict[str, float] = {}
+    result: dict = {}
+
+    t_all = time.monotonic()
+    queries.update(bench_queries(spark, sf_dir))
+
+    if not os.environ.get("BENCH_SKIP_CRAWL"):
+        n_products = int(os.environ.get("BENCH_PRODUCTS", "60000"))
+        crawl = bench_crawl(
+            spark, n_products, os.path.join(_REPO, ".fixtures", "bench-state")
+        )
+        queries["crawl"] = crawl["wall_sec"]
+        result["crawl"] = crawl
+        result["pages_per_sec"] = crawl["pages_per_sec"]
+
+    total = round(time.monotonic() - t_all, 3)
+    result.update(
+        {
+            "metric": "crawl_pages_per_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cores": spark.sparkContext.defaultParallelism,
+        }
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

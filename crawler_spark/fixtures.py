@@ -66,7 +66,7 @@ class CorpusSpec:
 
     @property
     def name(self) -> str:
-        return f"h{self.n_hosts}-p{self.n_products}-s{self.seed}"
+        return f"h{self.n_hosts}-p{self.n_products}-s{self.seed}-v2"
 
 
 SMOKE = CorpusSpec(n_hosts=4, n_products=400)
@@ -125,9 +125,13 @@ def plan_hosts(spec: CorpusSpec, registrable_domain) -> list[HostPlan]:
         n_prod = max(4, int(round(weights[i] * spec.n_products)))
         if delay == _HUGE_DELAY_MS:
             n_prod = 4  # huge-delay host stays tiny (bounds superstep count)
-        n_leaves = spec.leaves_per_host if i == 0 else max(
+        # pagination chains are sequential by reference semantics (one
+        # next-page per superstep); bound chain length at bench scale by
+        # giving large hosts enough leaves (~≤6 pages per leaf listing)
+        base = spec.leaves_per_host if i == 0 else max(
             2, spec.leaves_per_host // 2
         )
+        n_leaves = max(base, -(-n_prod // 250))
         base = (i + 1) * 1_000_000
         plans.append(
             HostPlan(
@@ -188,7 +192,9 @@ def _leaf_products(hp: HostPlan) -> dict[int, list[list[int]]]:
     n_leaves = len(hp.leaves)
     counts = [0] * n_leaves
     if hp.idx == 0 and n >= 160:
-        counts[0] = max(110, int(n * 0.55))  # ≥3 listing pages as singletons
+        # ≥3 listing pages of singletons, capped so the sequential
+        # next-page chain stays short even at bench scale
+        counts[0] = max(110, min(int(n * 0.55), 300))
         counts[1] = 50  # exactly-one-page boundary
         rest = n - counts[0] - counts[1]
         for j in range(2, n_leaves - 1):

@@ -28,13 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 MM_META_SPARK = """
 SELECT doc_id,
        length(cast(text AS binary)) AS byte_len,
-       md5(cast(text AS binary)) AS content_md5,
-       CASE pmod(cast(conv(substring(md5(cast(text AS binary)), 1, 2), 16, 10)
+       md5(text) AS content_md5,
+       CASE pmod(cast(conv(substring(md5(text), 1, 2), 16, 10)
                  as int), 3)
             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-       64 + pmod(cast(conv(substring(md5(cast(text AS binary)), 3, 2), 16, 10)
+       64 + pmod(cast(conv(substring(md5(text), 3, 2), 16, 10)
                  as int), 192) AS width,
-       64 + pmod(cast(conv(substring(md5(cast(text AS binary)), 5, 2), 16, 10)
+       64 + pmod(cast(conv(substring(md5(text), 5, 2), 16, 10)
                  as int), 192) AS height
 FROM documents
 """
@@ -42,12 +42,12 @@ FROM documents
 MM_META_DUCK = """
 SELECT doc_id,
        octet_length(encode(text)) AS byte_len,
-       md5(encode(text)) AS content_md5,
-       CASE (('0x' || substring(md5(encode(text)), 1, 2))::INTEGER % 3)
+       md5(text) AS content_md5,
+       CASE (('0x' || substring(md5(text), 1, 2))::INTEGER % 3)
             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-       64 + (('0x' || substring(md5(encode(text)), 3, 2))::INTEGER % 192)
+       64 + (('0x' || substring(md5(text), 3, 2))::INTEGER % 192)
          AS width,
-       64 + (('0x' || substring(md5(encode(text)), 5, 2))::INTEGER % 192)
+       64 + (('0x' || substring(md5(text), 5, 2))::INTEGER % 192)
          AS height
 FROM documents
 """

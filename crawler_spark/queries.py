@@ -1,0 +1,496 @@
+"""Query registry: every SURVEY.md §2 operator (and every training-data
+operator) as a named (Spark, DuckDB-oracle) pair.
+
+Keys are the §2 operator ids (p1_, j2_, a1_, o2_, u1_, f4_, w1_, ...)
+plus the training-pipeline ops, so the driver's CORRECTNESS report maps
+1:1 onto the survey's coverage checklist. Spark side runs through
+``spark.sql`` over temp views of the sf-dir parquet tables — same
+Catalyst plans as the DataFrame API, one source of truth for semantics.
+
+Entries without an oracle (crawl superstep, IVF ANN, mapInPandas
+decode) are rows-only checked by the driver and covered by dedicated
+pytest parity/recall tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, multimodal, similarity, textstats
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+@dataclass
+class Query:
+    spark_sql: str | None = None  # run via spark.sql over the temp views
+    oracle: str | None = None  # DuckDB SQL (None → rows-only check)
+    fn: Callable[[SparkSession, str], DataFrame] | None = None  # non-SQL ops
+
+    def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.fn is not None:
+            return self.fn(spark, sf_dir)
+        load_views(spark, sf_dir)
+        return spark.sql(self.spark_sql)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / predicates
+# ---------------------------------------------------------------------------
+
+_REL: dict[str, Query] = {}
+
+_REL["p1_seed_projection"] = Query(
+    # P1 (ShiweijiaProduct.cs:48-51): filter-notnull → order-by-staleness
+    # → key projection. Stale-first priority analog on orders.
+    spark_sql="""
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderstatus = 'O'
+""",
+    oracle="""
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderstatus = 'O'
+""",
+)
+
+_REL["p4_nonempty_filter"] = Query(
+    spark_sql="""
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE l_returnflag IS NOT NULL AND length(l_returnflag) > 0
+  AND l_quantity > 0
+""",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE l_returnflag IS NOT NULL AND length(l_returnflag) > 0
+  AND l_quantity > 0
+""",
+)
+
+_REL["p5_success_gate_json"] = Query(
+    # P5+F12: JSON success-flag gate (get_json_object analog)
+    spark_sql="""
+SELECT event_id, get_json_object(props, '$.k') AS k_val
+FROM events
+WHERE get_json_object(props, '$.k') IS NOT NULL
+""",
+    oracle="""
+SELECT event_id, json_extract_string(props, '$.k') AS k_val
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+""",
+)
+
+_REL["p7_regex_validators"] = Query(
+    # P7 (StringExtension.cs:26-42): the reference's regexes verbatim,
+    # including the [a-zA-z] typo in IsLink.
+    spark_sql="""
+SELECT doc_id,
+       CASE WHEN text RLIKE '[a-zA-z]+://[^\\\\s]*' THEN 1 ELSE 0 END
+         AS has_link,
+       CASE WHEN text RLIKE '\\\\w[-\\\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\\\.)+[A-Za-z]{2,14}'
+            THEN 1 ELSE 0 END AS has_email
+FROM documents
+""",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[a-zA-z]+://[^\\s]*') THEN 1 ELSE 0 END
+         AS has_link,
+       CASE WHEN regexp_matches(text, '\\w[-\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\.)+[A-Za-z]{2,14}')
+            THEN 1 ELSE 0 END AS has_email
+FROM documents
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+_REL["j1_fetch_join"] = Query(
+    # J1: the frontier⋈corpus hot equi-join shape
+    spark_sql="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+
+_REL["j2_brand_lookup"] = Query(
+    # J2 (ShiweijiaProduct.cs:228-240): broadcast dim lookup
+    spark_sql="""
+SELECT /*+ BROADCAST(part) */ l.l_orderkey, l.l_linenumber, p.p_brand
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+
+_REL["j3_parent_lookup"] = Query(
+    # J3 (ShiweijiaProduct.cs:63-64): two-hop parent resolution
+    spark_sql="""
+SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+       c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    oracle="""
+SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+
+_REL["j5_first_wins_decode"] = Query(
+    # J5 (ShiweijiaProduct.cs:309-317): id→name decode, first-match-wins
+    spark_sql="""
+SELECT l_orderkey, p_name AS first_part_name FROM (
+  SELECT l.l_orderkey, p.p_name,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber, l.l_partkey) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+WHERE rn = 1
+""",
+    oracle="""
+SELECT l_orderkey, p_name AS first_part_name FROM (
+  SELECT l.l_orderkey, p.p_name,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber, l.l_partkey) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) t
+WHERE rn = 1
+""",
+)
+
+_REL["j6_variant_anti_join"] = Query(
+    # J6 (ShiweijiaProduct.cs:183): not-yet-visited anti-join
+    spark_sql="""
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    oracle="""
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+
+_REL["j7_insert_if_absent"] = Query(
+    # J7 (ShiweijiaCategory.cs:96): exists-gate before insert
+    spark_sql="""
+SELECT p_partkey FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    oracle="""
+SELECT p_partkey FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+_REL["a1_group_counts"] = Query(
+    # A1 (ShiweijiaProduct.cs:61-66) widened to the TPC-H Q1 shape
+    spark_sql="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+_REL["a2_ceil_div_pages"] = Query(
+    # A2/F14 (ShiweijiaProduct.cs:122): ceil(Total/pageSize)
+    spark_sql="""
+SELECT o_custkey, count(*) AS n_orders,
+       cast(ceil(count(*) / 50.0) AS long) AS n_pages
+FROM orders GROUP BY o_custkey
+""",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       cast(ceil(count(*) / 50.0) AS bigint) AS n_pages
+FROM orders GROUP BY o_custkey
+""",
+)
+
+_REL["a4_first_wins_collect"] = Query(
+    # A4 (ShiweijiaProduct.cs:271-296): dict-collect with first-wins on
+    # duplicate keys, exploded to rows for cross-engine hashing
+    spark_sql="""
+SELECT o_custkey, o_orderdate, o_orderkey AS first_order
+FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey) AS rn
+  FROM orders)
+WHERE rn = 1
+""",
+    oracle="""
+SELECT o_custkey, o_orderdate, o_orderkey AS first_order
+FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+_REL["o1_stale_first_topk"] = Query(
+    # O1 (ShiweijiaProduct.cs:50): stale-first ordering, deterministic
+    # tie-break so LIMIT selects the same set in both engines
+    spark_sql="""
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 100
+""",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 100
+""",
+)
+
+_REL["o2_first_match"] = Query(
+    # O2: FirstOrDefault — latest order per customer
+    spark_sql="""
+SELECT o_custkey, o_orderkey AS latest_order FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn = 1
+""",
+    oracle="""
+SELECT o_custkey, o_orderkey AS latest_order FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) t
+WHERE rn = 1
+""",
+)
+
+_REL["o3_per_host_take_k"] = Query(
+    # O3 (BaseSpider.cs:97-100): per-group budget take-k (k=3)
+    spark_sql="""
+SELECT o_custkey, o_orderkey, rk AS host_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 3
+""",
+    oracle="""
+SELECT o_custkey, o_orderkey, rk AS host_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops
+# ---------------------------------------------------------------------------
+
+_REL["u1_union_distinct"] = Query(
+    spark_sql="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+""",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+""",
+)
+
+_REL["u3_except_anti"] = Query(
+    spark_sql="""
+SELECT DISTINCT p_brand FROM part
+EXCEPT
+SELECT DISTINCT p.p_brand FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > 45
+""",
+    oracle="""
+SELECT DISTINCT p_brand FROM part
+EXCEPT
+SELECT DISTINCT p.p_brand FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > 45
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+_REL["f1_f5_hash_base64"] = Query(
+    # F1 md5 lowercase hex + F5 base64 + string funcs
+    spark_sql="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       base64(cast(substring(text, 1, 16) AS binary)) AS head_b64,
+       upper(substring(text, 1, 8)) AS head_upper,
+       length(text) AS n_chars
+FROM documents
+""",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       base64(encode(substring(text, 1, 16))) AS head_b64,
+       upper(substring(text, 1, 8)) AS head_upper,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+
+_REL["f4_epoch_millis"] = Query(
+    # F4 (DateTimeExtension.cs:13-21)
+    spark_sql="""
+SELECT event_id, unix_millis(cast(ts AS timestamp)) AS ts_ms,
+       unix_timestamp(cast(ts AS timestamp)) AS ts_s
+FROM events
+""",
+    oracle="""
+SELECT event_id, epoch_ms(ts) AS ts_ms, floor(epoch(ts))::BIGINT AS ts_s
+FROM events
+""",
+)
+
+_REL["f14_ceil_div"] = Query(
+    spark_sql="""
+SELECT l_orderkey, sum(l_quantity) AS total_qty,
+       cast(ceil(sum(l_quantity) / 50.0) AS long) AS n_batches
+FROM lineitem GROUP BY l_orderkey
+""",
+    oracle="""
+SELECT l_orderkey, sum(l_quantity) AS total_qty,
+       cast(ceil(sum(l_quantity) / 50.0) AS bigint) AS n_batches
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming analog (batch twin of the Structured-Streaming agg)
+# ---------------------------------------------------------------------------
+
+_REL["w1_window_agg"] = Query(
+    spark_sql="""
+SELECT unix_timestamp(window(ts, '5 minutes').start) AS bucket_s,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY window(ts, '5 minutes'), event_type
+""",
+    oracle="""
+SELECT epoch(time_bucket(INTERVAL 5 MINUTES, ts))::BIGINT AS bucket_s,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL 5 MINUTES, ts), event_type
+""",
+)
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+_TRAIN: dict[str, Query] = {
+    "dedup_exact": Query(
+        spark_sql=dedup.DEDUP_EXACT_SPARK, oracle=dedup.DEDUP_EXACT_DUCK
+    ),
+    "dedup_ngram_jaccard": Query(
+        spark_sql=dedup.ngram_jaccard_spark(), oracle=dedup.ngram_jaccard_duck()
+    ),
+    "dedup_minhash_lsh": Query(
+        spark_sql=dedup.minhash_lsh_spark(), oracle=dedup.minhash_lsh_duck()
+    ),
+    "text_simhash": Query(
+        spark_sql=dedup.simhash_fingerprints_spark(),
+        oracle=dedup.simhash_fingerprints_duck(),
+    ),
+    "dedup_simhash": Query(
+        spark_sql=dedup.simhash_pairs_spark(), oracle=dedup.simhash_pairs_duck()
+    ),
+    "dedup_embedding_cosine": Query(
+        spark_sql=dedup.embedding_pairs_spark(),
+        oracle=dedup.embedding_pairs_duck(),
+    ),
+    "ann_brute_topk": Query(
+        spark_sql=similarity.brute_topk_spark(),
+        oracle=similarity.brute_topk_duck(),
+    ),
+    "ann_ivf_topk": Query(
+        fn=lambda spark, sf_dir: similarity.ann_ivf(
+            spark,
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        )
+    ),
+    "text_lang_id": Query(
+        spark_sql=textstats.lang_id_spark(), oracle=textstats.lang_id_duck()
+    ),
+    "text_quality": Query(
+        spark_sql=textstats.QUALITY_SPARK, oracle=textstats.QUALITY_DUCK
+    ),
+    "text_token_count": Query(
+        spark_sql=textstats.TOKEN_COUNT_SPARK, oracle=textstats.TOKEN_COUNT_DUCK
+    ),
+    "text_fingerprint": Query(
+        spark_sql=textstats.fingerprint_spark(),
+        oracle=textstats.fingerprint_duck(),
+    ),
+    "mm_meta": Query(
+        spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK
+    ),
+    "mm_decode_features": Query(
+        fn=lambda spark, sf_dir: multimodal.decode_batches(
+            multimodal.documents_as_payload(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            )
+        ).drop("feature")  # array col dropped for stable driver hashing
+    ),
+}
+
+
+def all_queries() -> dict[str, Query]:
+    return {**_REL, **_TRAIN}

@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: every queries() entry
+with an oracle must match DuckDB exactly (row count + values) at sf0.01."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from crawler_spark.queries import _TABLES, all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in _TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in data)
+
+
+QUERIES = {k: q for k, q in all_queries().items() if q.oracle is not None}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_duckdb(spark, duck, name):
+    q = QUERIES[name]
+    sdf = q.run(spark, SF_DIR)
+    scols = sdf.columns
+    srows = _rows(scols, [tuple(r) for r in sdf.collect()])
+    res = duck.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = _rows(dcols, res.fetchall())
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row counts differ spark={len(srows)} duck={len(drows)}"
+    )
+    if srows != drows:
+        for a, b in zip(srows, drows):
+            assert a == b, f"{name}: first differing row\n spark={a}\n duck={b}"
+    assert srows == drows
+
+
+def test_rows_only_queries_run(spark):
+    for name, q in all_queries().items():
+        if q.oracle is None:
+            df = q.run(spark, SF_DIR)
+            assert df.count() >= 0, name
