@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl engine.
+
+Usage (the production invocation shape from the north rule):
+
+  zip -r /tmp/crawler_spark.zip crawler_spark
+  spark-submit --master local[32] --py-files /tmp/crawler_spark.zip \\
+      scripts/run_crawl.py --pages .../pages.parquet --seeds .../seeds.parquet \\
+      --robots .../robots.parquet --state /tmp/state --budget-ms 3600000
+
+Prints one JSON line with pages fetched, wall seconds and pages/sec —
+the scaling study runs this at two parallelism levels on the same input
+and reports the efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--robots", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--budget-ms", type=int, default=3_600_000)
+    ap.add_argument("--max-k", type=int, default=500_000)
+    ap.add_argument("--max-supersteps", type=int, default=60)
+    ap.add_argument("--bloom-bits", type=int, default=1 << 21)
+    ap.add_argument("--fresh", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    eng = CrawlEngine(
+        spark,
+        pages_path=args.pages,
+        seeds_path=args.seeds,
+        robots_path=args.robots,
+        state_dir=args.state,
+        config=EngineConfig(
+            budget_ms=args.budget_ms,
+            max_k=args.max_k,
+            bloom_bits=args.bloom_bits,
+        ),
+        fresh=args.fresh,
+    )
+    t0 = time.monotonic()
+    summary = eng.run(max_supersteps=args.max_supersteps)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "pages_fetched": summary["pages_fetched"],
+                "supersteps": summary["supersteps"],
+                "frontier_rows_left": summary["frontier_rows"],
+                "wall_sec": round(wall, 2),
+                "pages_per_sec": round(summary["pages_fetched"] / wall, 1),
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
