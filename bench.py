@@ -88,6 +88,7 @@ def bench_crawl(spark, n_products: int, state_root: str) -> dict:
             budget_ms=3_600_000,  # 1h-budget supersteps (bench cadence)
             max_k=500_000,
             bloom_bits=1 << 21,
+            stop_when_frontier_below=300,
         ),
         fresh=True,
     )

@@ -54,6 +54,13 @@ class EngineConfig:
     broadcast_batch_limit: int = 2_000_000
     canonicalize_successors: bool = True
     max_supersteps: int = 10_000
+    # bench knob: treat the frontier as drained below this size (long
+    # politeness tails on huge-crawl-delay hosts otherwise pad dozens of
+    # near-empty supersteps; 0 = drain fully)
+    stop_when_frontier_below: int = 0
+    # small per-superstep deltas are coalesced before write (file-count
+    # and task-overhead control; Iceberg compaction analog)
+    delta_write_partitions: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -184,7 +191,15 @@ class CrawlEngine:
             cfg.n_salts,
             cfg.default_crawl_delay_ms,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        ph: dict[str, float] = {}
+
+        def _tick(name: str, t=[time.monotonic()]) -> None:
+            now = time.monotonic()
+            ph[name] = round(now - t[0], 3)
+            t[0] = now
+
         n_batch = batch.count()
+        _tick("politeness")
         if n_batch == 0:
             batch.unpersist()
             frontier.unpersist()
@@ -202,6 +217,7 @@ class CrawlEngine:
             ),
             s,
         )
+        _tick("crawl_log")
 
         fetched = (
             self._fetch(batch, n_batch)
@@ -213,6 +229,7 @@ class CrawlEngine:
             r["kind"]: r["count"]
             for r in fetched.groupBy("kind").count().collect()
         }
+        _tick("fetch_join")
         n_cat = kind_counts.get("category", 0)
         n_listing = kind_counts.get("listing", 0)
         n_detail = kind_counts.get("detail", 0)
@@ -247,11 +264,15 @@ class CrawlEngine:
                 cats, n_cat, n_listing, fetched, s, successors, error_frames
             )
 
+        _tick("extract_entities")
         # ---- frontier update: succ ∖ (seen ∪ frontier), first-wins ----
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
         new_rows = self._new_frontier_rows(successors, remaining, batch, s)
         n_new = new_rows.count() if new_rows is not None else 0
 
+        _tick("frontier_new")
+        # url_seen needs no separate write: it is the (url, superstep)
+        # projection of crawl_log (statestore derives it on read)
         errors = error_frames[0]
         for e in error_frames[1:]:
             errors = errors.unionByName(e)
@@ -260,12 +281,7 @@ class CrawlEngine:
         if n_err:
             store.write_delta("errors", errors, s)
 
-        store.write_delta(
-            "url_seen",
-            batch.select("url", F.lit(s).cast("long").alias("superstep")),
-            s,
-        )
-
+        _tick("errors_seen")
         frontier_next = remaining.select(*_FRONTIER_COLS)
         if new_rows is not None:
             frontier_next = frontier_next.unionByName(
@@ -273,6 +289,7 @@ class CrawlEngine:
             )
         store.write_frontier(frontier_next, s)
 
+        _tick("frontier_write")
         # ---- bloom: add fetched urls + newly admitted frontier urls ----
         delta_urls = batch.select("url")
         if new_rows is not None:
@@ -282,9 +299,11 @@ class CrawlEngine:
         self.bloom.save(bpath)
         store.set_bloom(bpath)
 
+        _tick("bloom")
         # ---- per-partition lineage counters (north rule) ----
         self._write_checkpoint(s, frontier, batch, new_rows, n_err)
 
+        _tick("checkpoint")
         c = store.manifest["counters"]
         c["pages_fetched"] = c.get("pages_fetched", 0) + n_batch
         c["frontier_rows"] = c.get("frontier_rows", 0) - n_batch + n_new
@@ -302,6 +321,7 @@ class CrawlEngine:
             "new_urls": n_new,
             "errors": n_err,
             "frontier_rows": c["frontier_rows"],
+            "phases": ph,
             "secs": round(time.monotonic() - t0, 3),
             "done": c["frontier_rows"] == 0,
         }
@@ -362,6 +382,7 @@ class CrawlEngine:
                 "specifications",
                 "thumbnails",
                 "features",
+                "attribute_json",
                 F.col("text_extracted").alias("text"),
                 "url",
             )
@@ -669,33 +690,44 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _write_checkpoint(self, s, frontier, batch, new_rows, n_err):
-        """Per-url-hash-partition lineage counters (north rule)."""
-        rows_in = {
-            r["pid"]: r["count"]
-            for r in frontier.groupBy(_ckpt_pid().alias("pid")).count().collect()
-        }
-        fetched_c = {
-            r["pid"]: r["count"]
-            for r in batch.groupBy(_ckpt_pid().alias("pid")).count().collect()
-        }
-        new_c = (
-            {
+        """Per-url-hash-partition lineage counters (north rule).
+
+        rows_in is carried forward from the previous superstep's
+        committed rows_out (telescoping invariant, verified by the
+        frontier-conservation test) — re-scanning the whole frontier per
+        superstep just to count it would be pure overhead at scale."""
+        prev = self.store.manifest["counters"].get("pid_rows_out")
+        if prev is not None:
+            rows_in = {int(k): v for k, v in prev.items()}
+        else:
+            rows_in = {
                 r["pid"]: r["count"]
-                for r in new_rows.groupBy(_ckpt_pid().alias("pid"))
+                for r in frontier.groupBy(_ckpt_pid().alias("pid"))
                 .count()
                 .collect()
             }
-            if new_rows is not None
-            else {}
+        # one union-agg job covers both batch and new-row counts
+        tagged = batch.select("url", F.lit("f").alias("t"))
+        if new_rows is not None:
+            tagged = tagged.unionByName(
+                new_rows.select("url", F.lit("n").alias("t"))
+            )
+        counts = (
+            tagged.groupBy(_ckpt_pid().alias("pid"), "t").count().collect()
         )
+        fetched_c = {r["pid"]: r["count"] for r in counts if r["t"] == "f"}
+        new_c = {r["pid"]: r["count"] for r in counts if r["t"] == "n"}
         rows = []
+        pid_rows_out = {}
         for pid in range(_CKPT_PARTS):
             ri = rows_in.get(pid, 0)
             rf = fetched_c.get(pid, 0)
             nw = new_c.get(pid, 0)
+            pid_rows_out[pid] = ri - rf + nw
             rows.append(
                 (s, pid, ri, rf, ri - rf + nw, nw, n_err if pid == 0 else 0)
             )
+        self.store.manifest["counters"]["pid_rows_out"] = pid_rows_out
         self.store.write_delta(
             "checkpoints",
             self.spark.createDataFrame(rows, schemas.CHECKPOINTS),
@@ -712,6 +744,12 @@ class CrawlEngine:
             info = self.run_superstep()
             steps.append(info)
             done = info.get("done", False)
+            if (
+                not done
+                and info.get("frontier_rows", 0)
+                < self.cfg.stop_when_frontier_below
+            ):
+                done = True
         c = self.store.manifest["counters"]
         return {
             "supersteps": self.store.manifest["superstep"],

@@ -444,6 +444,25 @@ def extract_details(pages: DataFrame, html_col: str = "html") -> DataFrame:
         ),
     )
 
+    # Attribute JSON for the submission payload (GetProductAttributeJson,
+    # ShiweijiaProduct.cs:474-487): entries with non-empty values, in
+    # decode order; "" when features never materialized.
+    df = df.withColumn(
+        "attribute_json",
+        F.when(
+            F.col("fdecode").isNotNull() & ~F.col("fdecode.failed"),
+            F.expr(
+                "concat('[', array_join(transform("
+                "filter(fdecode.entries, e -> e.v != ''), "
+                "e -> concat('{\"AttributeName\":\"', "
+                + _nt_esc("e.k")
+                + ", '\",\"AttributeValue\":\"', "
+                + _nt_esc("e.v")
+                + ", '\"}')), ','), ']')"
+            ),
+        ).otherwise(F.lit("")),
+    )
+
     # the byte-identical text render (GetProductDetails, cs:435-461)
     df = df.withColumn(
         "text_out",

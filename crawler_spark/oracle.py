@@ -395,6 +395,37 @@ def classify_url(url: str) -> tuple[str, dict]:
     return "other", {}
 
 
+def submission_payload(product: dict, categories_by_id: dict) -> dict:
+    """S8 payload (Submit, ShiweijiaProduct.cs:392-434): fixed key
+    order, parent/child category two-hop, decimal prices as strings,
+    coverPath thumbnails-or-first-pic fallback."""
+    child = categories_by_id[product["category_id"]]
+    parent = categories_by_id.get(child["parent_id"], {})
+    main_list = json.loads(product["main_imgs"] or "[]")
+    return {
+        "platformType": "1",
+        "materialTypeID": "5",
+        "typeID": "3",
+        "productCode": product["product_code"],
+        "productID": str(product["id"]),
+        "materialName": product["name"],
+        "categoryName": parent.get("category_name"),
+        "categoryCoverPath": parent.get("category_img"),
+        "mincategoryName": child["category_name"],
+        "mincategoryCoverPath": child["category_img"],
+        "brandName": product["brand_name"],
+        "brandCoverPath": product["brand_img"],
+        "marketPrice": product["sale_price"],
+        "floorPrice": product["cost_price"] or "0",
+        "discountPrice": product["custom_price"] or "0",
+        "Attribute": product["attribute_json"],
+        "coverPath": product["thumbnails"]
+        or (main_list[0] if main_list else None),
+        "materialPicture": product["main_imgs"],
+        "materialDetails": product["text"],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Priority paths + politeness budget (shared contract with the engine)
 # ---------------------------------------------------------------------------
@@ -588,6 +619,7 @@ def simulate_crawl(
                             else None
                         ),
                         "features": p.features,
+                        "attribute_json": p.attribute_json,
                         "text": p.text,
                         "url": url,
                     }

@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import schemas
 
+# url_seen is DERIVED from crawl_log (url, superstep projection) — one
+# physical write per superstep serves both tables.
 TABLES = {
-    "url_seen": schemas.URL_SEEN,
     "crawl_log": schemas.CRAWL_LOG,
     "categories": None,  # schema carried by parquet (has seq column)
     "brands": schemas.BRANDS,
@@ -80,6 +81,11 @@ class StateStore:
 
     def _cleanup_uncommitted(self) -> None:
         """Remove partial writes from a killed superstep (exact resume)."""
+        known = set(self.manifest["tables"]) | {"frontier"}
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if os.path.isdir(full) and d not in known:
+                shutil.rmtree(full, ignore_errors=True)
         for table, committed in self.manifest["tables"].items():
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
@@ -110,6 +116,14 @@ class StateStore:
 
     # -- reads --------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
+        if table == "url_seen":
+            from pyspark.sql import functions as F
+
+            if not self.has_rows("crawl_log"):
+                return self.spark.createDataFrame([], schemas.URL_SEEN)
+            return self.read("crawl_log").select(
+                "url", F.col("superstep").cast("long").alias("superstep")
+            )
         paths = self.manifest["tables"][table]
         if not paths:
             schema = TABLES[table]
@@ -126,8 +140,12 @@ class StateStore:
         return self.spark.read.parquet(p) if p else None
 
     # -- writes (staged; durable only after commit()) -----------------------
-    def write_delta(self, table: str, df: DataFrame, superstep: int) -> str:
+    def write_delta(
+        self, table: str, df: DataFrame, superstep: int, partitions: int = 8
+    ) -> str:
         path = os.path.join(self.root, table, f"delta-{superstep:06d}")
+        if partitions:
+            df = df.coalesce(partitions)
         df.write.mode("overwrite").parquet(path)
         self.manifest["tables"][table].append(path)
         return path

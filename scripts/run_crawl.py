@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--max-k", type=int, default=500_000)
     ap.add_argument("--max-supersteps", type=int, default=60)
     ap.add_argument("--bloom-bits", type=int, default=1 << 21)
+    ap.add_argument("--stop-frontier-below", type=int, default=0)
     ap.add_argument("--fresh", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -50,6 +51,7 @@ def main() -> None:
             budget_ms=args.budget_ms,
             max_k=args.max_k,
             bloom_bits=args.bloom_bits,
+            stop_when_frontier_below=args.stop_frontier_below,
         ),
         fresh=args.fresh,
     )
