@@ -125,9 +125,16 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = config or EngineConfig()
         self.store = StateStore(spark, state_dir, fresh=fresh)
+        # cache the corpus at full parallelism: a single-file sandbox
+        # corpus has few row groups, which would cap every downstream
+        # stage's task count (a real 100 TB table is thousands of files)
+        n_part = min(512, spark.sparkContext.defaultParallelism * 4)
         self.pages = (
-            spark.read.schema(schemas.PAGES).parquet(pages_path)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+            spark.read.schema(schemas.PAGES)
+            .parquet(pages_path)
+            .repartition(n_part)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self.robots = spark.read.schema(schemas.ROBOTS).parquet(robots_path)
         self.seeds_path = seeds_path
         if self.store.manifest["frontier"] is None:

@@ -66,7 +66,7 @@ class CorpusSpec:
 
     @property
     def name(self) -> str:
-        return f"h{self.n_hosts}-p{self.n_products}-s{self.seed}-v2"
+        return f"h{self.n_hosts}-p{self.n_products}-s{self.seed}-v3"
 
 
 SMOKE = CorpusSpec(n_hosts=4, n_products=400)
@@ -397,7 +397,7 @@ def warc_ts(url: str) -> datetime:
     return _BASE_TS + timedelta(seconds=_h("ts", url) % 2_592_000)
 
 
-def write_corpus(corpus: Corpus, outdir: str, chunk: int = 100_000) -> dict:
+def write_corpus(corpus: Corpus, outdir: str, chunk: int = 8_192) -> dict:
     """Write pages/seeds/robots parquet (pyarrow, chunked for bench scale)."""
     os.makedirs(outdir, exist_ok=True)
     urls = sorted(corpus.pages)

@@ -22,7 +22,7 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.ui.enabled": "false",
     # pages.html is a fat binary column; keep input splits reasonable
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.files.maxPartitionBytes": "33554432",
 }
 
 

@@ -28,6 +28,9 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    # no repartition here: row-group-aligned input splits already give
+    # full scan parallelism, and a shuffle would turn this CPU-bound
+    # kernel measurement into an IO benchmark
     pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
     details = pages.filter(F.col("url").contains("/getproductdetail"))
     out = extract_details(details).select(

@@ -30,7 +30,11 @@ sys.path.insert(0, REPO)
 
 N_SMALL = int(os.environ.get("SCALE_N", "8"))
 N_BIG = 4 * N_SMALL
-N_PRODUCTS = int(os.environ.get("BENCH_PRODUCTS", "250000"))
+N_PRODUCTS = int(os.environ.get("BENCH_PRODUCTS", "1000000"))
+# superstep budget scales with corpus (operator cadence choice): 4h
+# supersteps keep the per-host rate law k = budget/crawl_delay while
+# bounding superstep count at this corpus size
+BUDGET_MS = int(os.environ.get("BENCH_BUDGET_MS", "14400000"))
 
 
 def ensure_corpus() -> str:
@@ -68,6 +72,8 @@ def submit(cores: int, pyzip: str, script: str, extra: list[str]) -> dict:
         "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf",
         "spark.ui.enabled=false",
+        "--conf",
+        "spark.sql.files.maxPartitionBytes=33554432",
         "--py-files",
         pyzip,
         os.path.join(REPO, "scripts", script),
@@ -102,6 +108,8 @@ def run_crawl_level(cores: int, corpus: str, pyzip: str) -> dict:
             state,
             "--stop-frontier-below",
             "300",
+            "--budget-ms",
+            str(BUDGET_MS),
         ],
     )
     shutil.rmtree(state, ignore_errors=True)
