@@ -46,6 +46,9 @@ def main() -> None:
         "variant_ids",
         "text_extracted",
     )
+    # warmup pass: janino codegen compile + JVM JIT of the generated
+    # kernel are one-time costs; throughput is the steady-state quantity
+    out.write.mode("overwrite").format("noop").save()
     t0 = time.monotonic()
     out.write.mode("overwrite").format("noop").save()
     wall = time.monotonic() - t0

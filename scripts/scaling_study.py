@@ -28,7 +28,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_SMALL = int(os.environ.get("SCALE_N", "8"))
+# this host exposes 32 hardware threads over 16 physical cores (SMT);
+# the honest N vs 4N resource comparison stays within physical cores
+N_SMALL = int(os.environ.get("SCALE_N", "4"))
 N_BIG = 4 * N_SMALL
 N_PRODUCTS = int(os.environ.get("BENCH_PRODUCTS", "1000000"))
 # superstep budget scales with corpus (operator cadence choice): 4h
@@ -73,7 +75,7 @@ def submit(cores: int, pyzip: str, script: str, extra: list[str]) -> dict:
         "--conf",
         "spark.ui.enabled=false",
         "--conf",
-        "spark.sql.files.maxPartitionBytes=33554432",
+        "spark.sql.files.maxPartitionBytes=2097152",
         "--py-files",
         pyzip,
         os.path.join(REPO, "scripts", script),
