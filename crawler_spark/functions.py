@@ -191,3 +191,25 @@ def content_type_for(ext: Column) -> Column:
     return F.coalesce(
         mapping[F.lower(ext)], F.lit("application/octet-stream")
     )
+
+
+def decode_html(col: Column) -> Column:
+    """F17: bytes → text with BOM handling (FileHelper.GetEncoding,
+    FileHelper.cs:267-315). The UTF-8 BOM is stripped before parsing;
+    UTF-16 payloads (local-file-only in the reference) are surfaced via
+    :func:`sniffed_encoding` instead of being silently mis-decoded."""
+    s = col.cast("string")
+    return F.when(
+        s.startswith("\ufeff"), F.substring(s, 2, 2147483647)
+    ).otherwise(s)
+
+
+def sniffed_encoding(col: Column) -> Column:
+    """F17 companion: BOM-based encoding sniff on the raw bytes."""
+    head = F.hex(F.substring(col, 1, 3))
+    return (
+        F.when(head.startswith("EFBBBF"), F.lit("utf-8-bom"))
+        .when(head.startswith("FFFE"), F.lit("utf-16-le"))
+        .when(head.startswith("FEFF"), F.lit("utf-16-be"))
+        .otherwise(F.lit("utf-8"))
+    )

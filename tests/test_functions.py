@@ -109,3 +109,21 @@ def test_content_type_map(spark):
         for r in df.select(cf.content_type_for(F.col("e")).alias("ct")).collect()
     ]
     assert got == ["image/jpeg", "image/png", "application/octet-stream"]
+
+
+def test_bom_decode_and_sniff(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (b"\xef\xbb\xbfhello",),
+        (b"plain",),
+        (b"\xff\xfea\x00",),
+    ]
+    df = spark.createDataFrame(rows, "b binary")
+    got = df.select(
+        cf.decode_html(F.col("b")).alias("t"),
+        cf.sniffed_encoding(F.col("b")).alias("e"),
+    ).collect()
+    assert (got[0].t, got[0].e) == ("hello", "utf-8-bom")
+    assert (got[1].t, got[1].e) == ("plain", "utf-8")
+    assert got[2].e == "utf-16-le"
