@@ -61,6 +61,8 @@ class EngineConfig:
     # small per-superstep deltas are coalesced before write (file-count
     # and task-overhead control; Iceberg compaction analog)
     delta_write_partitions: int = 8
+    # loop-read state tables are compacted every K supersteps
+    compact_every: int = 16
     extra: dict = field(default_factory=dict)
 
 
@@ -311,11 +313,16 @@ class CrawlEngine:
         self._write_checkpoint(s, frontier, batch, new_rows, n_err)
 
         _tick("checkpoint")
+        if cfg.compact_every and s % cfg.compact_every == 0:
+            for table in ("crawl_log", "img_cache", "brands", "categories"):
+                store.compact(table, s)
+
         c = store.manifest["counters"]
         c["pages_fetched"] = c.get("pages_fetched", 0) + n_batch
         c["frontier_rows"] = c.get("frontier_rows", 0) - n_batch + n_new
         store.manifest["superstep"] = s
         store.commit()
+        store.gc_unreferenced()
 
         for df in (batch, fetched, frontier):
             df.unpersist()

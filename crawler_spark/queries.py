@@ -29,6 +29,10 @@ _TABLES = (
 
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
+    # timestamps in the parquet are naive (NTZ); DuckDB treats them as
+    # UTC — pin the session so epoch/window results agree regardless of
+    # the host session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in _TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

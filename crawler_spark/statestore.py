@@ -163,6 +163,31 @@ class StateStore:
                 shutil.rmtree(full, ignore_errors=True)
         return path
 
+    def compact(self, table: str, superstep: int, partitions: int = 8) -> None:
+        """Rewrite a table's accumulated deltas into one snapshot file set
+        (Iceberg compaction analog). The loop re-reads some state tables
+        every superstep; without compaction their file count grows
+        linearly with supersteps and metadata handling starts to dominate.
+        Crash-safe: the compacted dir only becomes visible via the next
+        manifest commit; an interrupted compaction is GC'd on open."""
+        paths = self.manifest["tables"][table]
+        if len(paths) <= 1:
+            return
+        df = self.spark.read.parquet(*paths).coalesce(partitions)
+        path = os.path.join(self.root, table, f"compact-{superstep:06d}")
+        df.write.mode("overwrite").parquet(path)
+        self.manifest["tables"][table] = [path]
+        # old deltas are removed by _cleanup_uncommitted on next open if
+        # this manifest commits; remove eagerly only AFTER commit() —
+        # the engine calls gc_unreferenced() post-commit.
+        self._pending_gc = getattr(self, "_pending_gc", []) + paths
+
+    def gc_unreferenced(self) -> None:
+        """Remove delta dirs superseded by a committed compaction."""
+        for p in getattr(self, "_pending_gc", []):
+            shutil.rmtree(p, ignore_errors=True)
+        self._pending_gc = []
+
     def bloom_path(self, superstep: int) -> str:
         return os.path.join(self.root, f"bloom-{superstep:06d}.npz")
 

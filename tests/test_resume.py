@@ -70,3 +70,40 @@ def test_kill_and_resume_identical(spark, smoke_dir, tmp_path):
     assert a.keys() == b.keys()
     for table in a:
         assert a[table] == b[table], f"{table} differs after resume"
+
+
+def test_compaction_preserves_state_and_resume(spark, smoke_dir, tmp_path):
+    """Compaction (every 2 supersteps) must not change any table's
+    contents, and resume across a compaction boundary stays exact."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    def mk(state, fresh, compact_every):
+        return CrawlEngine(
+            spark,
+            pages_path=f"{smoke_dir}/pages.parquet",
+            seeds_path=f"{smoke_dir}/seeds.parquet",
+            robots_path=f"{smoke_dir}/robots.parquet",
+            state_dir=state,
+            config=EngineConfig(compact_every=compact_every, **CFG),
+            fresh=fresh,
+        )
+
+    plain = mk(str(tmp_path / "plain"), True, 0)
+    plain.run(max_supersteps=100)
+
+    cut = mk(str(tmp_path / "cut"), True, 2)
+    for _ in range(3):
+        cut.run_superstep()
+    resumed = mk(str(tmp_path / "cut"), False, 2)
+    resumed.run(max_supersteps=100)
+
+    import os
+
+    assert any(
+        d.startswith("compact-")
+        for d in os.listdir(os.path.join(str(tmp_path / "cut"), "crawl_log"))
+    ), "no compaction happened"
+    a = _snapshot(spark, plain)
+    b = _snapshot(spark, resumed)
+    for table in a:
+        assert a[table] == b[table], f"{table} differs with compaction"
