@@ -435,6 +435,49 @@ GROUP BY time_bucket(INTERVAL 5 MINUTES, ts), event_type
 """,
 )
 
+_REL["w2_sessionize"] = Query(
+    # sessionization (gap > 30 min) via lag + cumulative gap count —
+    # the batch twin of session_window / applyInPandasWithState
+    spark_sql="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN unix_millis(cast(ts AS timestamp))
+                   - lag(unix_millis(cast(ts AS timestamp)), 1, 0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+se AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id,
+       unix_millis(cast(min(ts) AS timestamp)) AS session_start_ms,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM se GROUP BY user_id, session_id
+""",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_ms(ts)
+                   - coalesce(lag(epoch_ms(ts), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                   > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+se AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM se GROUP BY user_id, session_id
+""",
+)
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Structured-Streaming operators (SURVEY.md §2.9).
+
+The crawl itself deliberately runs as a superstep batch loop (frontier
+output feeds frontier input — a feedback edge Structured Streaming
+cannot express within one query), but the engine's streaming-facing
+surface is real:
+
+- :func:`windowed_event_agg` — the streaming twin of the w1 batch
+  aggregation (watermark + tumbling window), verified against batch in
+  tests.
+- :func:`running_totals_stateful` — a custom stateful operator via
+  ``applyInPandasWithState``: per-key running event counts/value sums
+  carried across micro-batches (the GroupState pattern a production
+  frontier-ingest stream would use for per-host rate accounting).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+
+def windowed_event_agg(stream: DataFrame) -> DataFrame:
+    """Watermarked 5-minute tumbling window counts/sums per event type."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _update(key, pdfs, state: GroupState):  # pragma: no cover - executor
+    n, v = (state.get if state.exists else (0, 0.0))
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    state.update((n, v))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_events": [n], "total_value": [v]}
+    )
+
+
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Per-event-type running totals across micro-batches (GroupState)."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

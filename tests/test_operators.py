@@ -116,3 +116,47 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
         for r in all_queries()["w1_window_agg"].run(spark, SF_DIR).collect()
     }
     assert got == exp
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """§2.9 custom stateful operator: applyInPandasWithState running
+    totals over the events stream must converge to the batch groupBy."""
+    import os
+    import shutil
+
+    from crawler_spark.streaming import running_totals_stateful
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    p = f"{SF_DIR}/events.parquet"
+    if os.path.isdir(p):
+        shutil.copytree(p, src, dirs_exist_ok=True)
+    else:
+        shutil.copy(p, os.path.join(src, "events.parquet"))
+
+    batch_df = spark.read.parquet(p)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("run_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_type, max(n_events) n, max(total_value) v "
+            "FROM run_totals GROUP BY event_type"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.event_type: (r.n, round(r.v, 4)) for r in rows}
+    exp = {
+        r.event_type: (r.n, round(r.v, 4))
+        for r in batch_df.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == exp
