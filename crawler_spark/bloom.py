@@ -125,7 +125,26 @@ class PartitionedBloom:
         for pid, raw in deltas:
             self.bits[pid] |= np.frombuffer(raw, dtype=np.uint8)
 
-    def add_df(self, df: DataFrame, url_col: str = "url") -> None:
+    def add_df(
+        self,
+        df: DataFrame,
+        url_col: str = "url",
+        collect_threshold: int = 0,
+        n_rows: int | None = None,
+    ) -> None:
+        """Add a DataFrame of urls. Small deltas (≤ collect_threshold,
+        when the caller knows ``n_rows``) are collected and added
+        driver-side — cheaper than an applyInPandas shuffle; large
+        deltas use the distributed partition-wise build."""
+        if (
+            collect_threshold
+            and n_rows is not None
+            and n_rows <= collect_threshold
+        ):
+            self.add_many(
+                r[0] for r in df.select(url_col).collect()
+            )
+            return
         self.merge_deltas(self.build_deltas(df, url_col))
 
     def probe_udf(self, spark: SparkSession):

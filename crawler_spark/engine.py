@@ -207,7 +207,13 @@ class CrawlEngine:
             ph[name] = round(now - t[0], 3)
             t[0] = now
 
-        n_batch = batch.count()
+        # one agg yields both the batch size and the per-kind split
+        # (kind is a pure function of the url — no fetch needed)
+        kind_counts = {
+            r["kind"]: r["count"]
+            for r in batch.groupBy(_kind_col().alias("kind")).count().collect()
+        }
+        n_batch = sum(kind_counts.values())
         _tick("politeness")
         if n_batch == 0:
             batch.unpersist()
@@ -234,10 +240,6 @@ class CrawlEngine:
             .withColumn("site", _site_col())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        kind_counts = {
-            r["kind"]: r["count"]
-            for r in fetched.groupBy("kind").count().collect()
-        }
         _tick("fetch_join")
         n_cat = kind_counts.get("category", 0)
         n_listing = kind_counts.get("listing", 0)
@@ -246,8 +248,9 @@ class CrawlEngine:
         successors: list[DataFrame] = []
         error_frames: list[DataFrame] = []
 
-        # 404s: fetched but absent from the corpus → quarantine (S6)
-        missing = batch.join(self.pages.select("url"), "url", "left_anti")
+        # 404s: fetched but absent from the corpus → quarantine (S6);
+        # anti-join against the (small) fetched result, not the corpus
+        missing = batch.join(fetched.select("url"), "url", "left_anti")
         error_frames.append(
             missing.select(
                 "url",
@@ -301,9 +304,13 @@ class CrawlEngine:
         _tick("frontier_write")
         # ---- bloom: add fetched urls + newly admitted frontier urls ----
         delta_urls = batch.select("url")
+        n_delta = n_batch
         if new_rows is not None:
             delta_urls = delta_urls.unionByName(new_rows.select("url"))
-        self.bloom.add_df(delta_urls)
+            n_delta += n_new
+        self.bloom.add_df(
+            delta_urls, collect_threshold=100_000, n_rows=n_delta
+        )
         bpath = store.bloom_path(s)
         self.bloom.save(bpath)
         store.set_bloom(bpath)
