@@ -31,7 +31,12 @@ def main() -> None:
     ap.add_argument("--max-supersteps", type=int, default=60)
     ap.add_argument("--bloom-bits", type=int, default=1 << 21)
     ap.add_argument("--stop-frontier-below", type=int, default=0)
-    ap.add_argument("--fresh", action="store_true", default=True)
+    ap.add_argument(
+        "--fresh",
+        action="store_true",
+        default=False,
+        help="wipe the state dir; omit to resume from its manifest",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

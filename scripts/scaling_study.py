@@ -112,6 +112,7 @@ def run_crawl_level(cores: int, corpus: str, pyzip: str) -> dict:
             "300",
             "--budget-ms",
             str(BUDGET_MS),
+            "--fresh",
         ],
     )
     shutil.rmtree(state, ignore_errors=True)
