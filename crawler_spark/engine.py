@@ -30,6 +30,7 @@ from pyspark.storagelevel import StorageLevel
 
 from . import schemas
 from .bloom import PartitionedBloom
+from .cuckoo import PartitionedCuckoo
 from .extract import (
     extract_categories,
     extract_details,
@@ -48,9 +49,13 @@ class EngineConfig:
     max_k: int = 1_000
     n_salts: int = 8
     default_crawl_delay_ms: int = 3_000
+    # URL-seen approximate-membership structure: 'bloom' (OR-mergeable
+    # bitmaps) or 'cuckoo' (deletable fingerprints — recrawl/TTL path)
+    seen_filter: str = "bloom"
     bloom_partitions: int = 16
     bloom_bits: int = 1 << 17
     bloom_hashes: int = 5
+    cuckoo_buckets: int = 1 << 13
     broadcast_batch_limit: int = 2_000_000
     canonicalize_successors: bool = True
     max_supersteps: int = 10_000
@@ -141,7 +146,11 @@ class CrawlEngine:
         self.seeds_path = seeds_path
         if self.store.manifest["frontier"] is None:
             self._init_frontier()
-        self.bloom = PartitionedBloom.load(self.store.manifest["bloom"])
+        kind = self.store.manifest.get("seen_filter", self.cfg.seen_filter)
+        loader = (
+            PartitionedCuckoo.load if kind == "cuckoo" else PartitionedBloom.load
+        )
+        self.bloom = loader(self.store.manifest["bloom"])
 
     # ------------------------------------------------------------------
     def _init_frontier(self) -> None:
@@ -160,9 +169,13 @@ class CrawlEngine:
         )
         f = robots_allowed(f, self.robots).select(*_FRONTIER_COLS)
         self.store.write_frontier(f, 0)
-        bloom = PartitionedBloom(
-            cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes
-        )
+        if cfg.seen_filter == "cuckoo":
+            bloom = PartitionedCuckoo(cfg.bloom_partitions, cfg.cuckoo_buckets)
+        else:
+            bloom = PartitionedBloom(
+                cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes
+            )
+        self.store.manifest["seen_filter"] = cfg.seen_filter
         bloom.add_df(self.spark.read.parquet(self.store.manifest["frontier"]))
         bpath = self.store.bloom_path(0)
         bloom.save(bpath)

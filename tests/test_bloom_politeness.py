@@ -107,3 +107,67 @@ def test_politeness_exact_topk_under_skew(spark):
         assert [u for _, u in ranked] == [
             f"https://h{h}.net/p/{i:04d}" for i in range(10)
         ]
+
+
+def test_cuckoo_no_false_negatives_fpp_delete(spark):
+    """Cuckoo URL-seen: zero false negatives, bounded fpp, delete
+    support, distributed build agrees with driver-side adds."""
+    from crawler_spark.cuckoo import PartitionedCuckoo
+
+    urls = [f"https://h{i % 53}.example.org/p/{i}" for i in range(20_000)]
+    c = PartitionedCuckoo(n_partitions=8, n_buckets=1 << 11)  # ~65k slots
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    c.add_df(df)
+    assert not c.overflow.any(), "table overflowed at modest load"
+    for u in urls[::37]:
+        assert c.contains(u)
+    other = [f"https://h{i % 31}.nowhere.net/q/{i}" for i in range(20_000)]
+    odf = spark.createDataFrame([(u,) for u in other], "url string")
+    probe = c.probe_udf(spark)
+    fp = odf.withColumn("m", probe("url")).filter("m").count()
+    assert fp / len(other) < 0.05, f"cuckoo fpp too high: {fp}"
+    # deletion (recrawl path) — bloom cannot do this
+    assert c.delete(urls[0])
+    assert not c.contains(urls[0])
+    # persistence round-trip
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        c.save(p)
+        c2 = PartitionedCuckoo.load(p)
+        assert (c2.table == c.table).all()
+        assert c2.contains(urls[1])
+
+
+def test_engine_runs_with_cuckoo_seen_filter(spark, smoke_dir, smoke_corpus, tmp_path):
+    """The full crawl with seen_filter='cuckoo' reaches the same
+    url_seen set and page count as the oracle."""
+    from crawler_spark import oracle
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.urltools import registrable_domain
+
+    golden = oracle.simulate_crawl(
+        smoke_corpus.pages,
+        smoke_corpus.seeds,
+        smoke_corpus.robots,
+        registrable_domain,
+        budget_ms=30_000,
+        max_k=1_000,
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=f"{smoke_dir}/pages.parquet",
+        seeds_path=f"{smoke_dir}/seeds.parquet",
+        robots_path=f"{smoke_dir}/robots.parquet",
+        state_dir=str(tmp_path / "ck-state"),
+        config=EngineConfig(
+            budget_ms=30_000, max_k=1_000, seen_filter="cuckoo"
+        ),
+        fresh=True,
+    )
+    summary = eng.run(max_supersteps=200)
+    assert summary["pages_fetched"] == len(golden.crawl_order)
+    seen = {r.url for r in eng.store.read("url_seen").select("url").collect()}
+    assert seen == golden.url_seen
