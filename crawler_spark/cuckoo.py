@@ -46,6 +46,14 @@ class PartitionedCuckoo:
     uint16 fingerprints (0 = empty slot; fingerprints are 1..65535)."""
 
     def __init__(self, n_partitions: int = 16, n_buckets: int = 1 << 13):
+        if n_buckets <= 0 or n_buckets & (n_buckets - 1):
+            # the partial-key alternate bucket i2 = (i1 ^ h(fp)) % B is an
+            # involution ONLY for power-of-two B; any other B lets an
+            # evicted fingerprint land where neither probe looks — a
+            # false negative, violating the URL-seen contract
+            raise ValueError(
+                f"n_buckets must be a power of two, got {n_buckets}"
+            )
         self.P = n_partitions
         self.B = n_buckets
         self.table = np.zeros(

@@ -638,7 +638,12 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _append_img_cache(self, links: DataFrame, s: int, suffix: str = ""):
-        """Insert-if-absent into the md5-keyed image cache (J4)."""
+        """Insert-if-absent into the md5-keyed image cache (J4).
+
+        ``suffix`` keeps the detail-page and category-page writes of one
+        superstep in distinct delta dirs (same-path writes would clobber
+        each other and double-count in the manifest — StateStore raises
+        on a duplicate path as a backstop)."""
         from .extract import upload_url_sql, _ext  # noqa: F401
 
         store = self.store
@@ -656,7 +661,7 @@ class CrawlEngine:
             .join(store.read("img_cache").select("md5_key"), "md5_key", "left_anti")
             .select("md5_key", "uploaded_url")
         )
-        store.write_delta("img_cache", rows, s)
+        store.write_delta("img_cache", rows, s, suffix=suffix)
 
     # ------------------------------------------------------------------
     def _new_frontier_rows(self, successors, remaining, batch, s):

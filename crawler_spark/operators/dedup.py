@@ -70,11 +70,12 @@ inter AS (
   FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT i.doc_a, i.doc_b, i.n_common,
-       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+       round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+WHERE cast(i.n_common AS double) / (sa.n + sb.n - i.n_common) >= {threshold}
 """
 
 
@@ -90,11 +91,12 @@ inter AS (
   FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT i.doc_a, i.doc_b, i.n_common,
-       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
+       round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+WHERE cast(i.n_common AS double) / (sa.n + sb.n - i.n_common) >= {threshold}
 """
 
 
@@ -127,11 +129,19 @@ def _band_rows(concat_fn) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-def minhash_lsh_spark(n: int = 2, threshold: float = 0.5) -> str:
-    bands = _band_rows(lambda cs: "concat(" + ", ".join(cs) + ")")
+def _minhash_lsh_body(shingle_cte: str, aggs: str, bands: str, threshold: float) -> str:
+    """Shared LSH plan: banding generates candidates; exact-Jaccard
+    confirmation is restricted to those candidates (the whole point of
+    LSH — intersection work is O(candidates), never O(co-shingled
+    pairs)), over the same DF-capped shingle relation ngram-jaccard
+    uses (skew guard: a boilerplate shingle in 10^6 docs must not fan
+    the confirm join out)."""
     return f"""
-WITH sh AS ({spark_shingle_sql(n)}),
-mh AS (SELECT doc_id, {_minhash_aggs()} FROM sh GROUP BY doc_id),
+WITH sh AS ({shingle_cte}),
+freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON s.sh = f.sh
+        WHERE f.df <= {DF_CAP}),
+mh AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -139,42 +149,31 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT c.doc_a, c.doc_b,
-       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
-FROM cand c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shf a ON a.doc_id = c.doc_a
+  JOIN shf b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(i.n_common AS double) / (sa.n + sb.n - i.n_common) >= {threshold}
 """
+
+
+def minhash_lsh_spark(n: int = 2, threshold: float = 0.5) -> str:
+    bands = _band_rows(lambda cs: "concat(" + ", ".join(cs) + ")")
+    return _minhash_lsh_body(spark_shingle_sql(n), _minhash_aggs(), bands, threshold)
 
 
 def minhash_lsh_duck(n: int = 2, threshold: float = 0.5) -> str:
     bands = _band_rows(lambda cs: " || ".join(cs))
-    return f"""
-WITH sh AS ({duck_shingle_sql(n)}),
-mh AS (SELECT doc_id, {_duck_minhash_aggs()} FROM sh GROUP BY doc_id),
-bands AS ({bands}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT c.doc_a, c.doc_b,
-       round(i.n_common / (sa.n + sb.n - i.n_common + 0.0), 4) AS jaccard
-FROM cand c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE i.n_common / (sa.n + sb.n - i.n_common + 0.0) >= {threshold}
-"""
+    return _minhash_lsh_body(
+        duck_shingle_sql(n), _duck_minhash_aggs(), bands, threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +253,59 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE hamming(a.simhash, b.simhash) <= {max_hamming}
 """
+
+
+SIMHASH_CHUNKS = 8  # 8 chunks × 8 bits: pigeonhole-exact for hamming ≤ 7
+SIMHASH_BANDED_MAX_HAMMING = SIMHASH_CHUNKS - 1
+
+
+def simhash_pairs_banded_spark(
+    max_hamming: int = SIMHASH_BANDED_MAX_HAMMING,
+) -> str:
+    """Banded SimHash near-dup pairs — the 100 TB scale path.
+
+    Candidates come from an equi-join on 8-bit fingerprint chunks
+    (pigeonhole: any pair within hamming ≤ chunks-1 must agree on at
+    least one chunk), so the plan is a hash shuffle on (chunk, value)
+    keys — never an all-pairs nested loop. Hamming is then confirmed
+    only for candidates. Exact (not approximate) for
+    max_hamming ≤ {SIMHASH_CHUNKS}-1: the all-pairs variant
+    (simhash_pairs_*) is its small-corpus oracle.
+    """
+    assert max_hamming < SIMHASH_CHUNKS
+    base = simhash_fingerprints_spark()
+    width = 64 // SIMHASH_CHUNKS
+    chunk_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS chunk, "
+        f"substring(simhash, {c * width + 1}, {width}) AS ck FROM fp"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    ham = (
+        "size(filter(sequence(1, 64), "
+        "i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))"
+    )
+    return f"""
+WITH fp AS ({base}),
+chunks AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, {ham} AS hamming
+FROM cand c
+JOIN fp a ON a.doc_id = c.doc_a
+JOIN fp b ON b.doc_id = c.doc_b
+WHERE {ham} <= {max_hamming}
+"""
+
+
+def simhash_pairs_banded_duck(
+    max_hamming: int = SIMHASH_BANDED_MAX_HAMMING,
+) -> str:
+    """DuckDB oracle for the banded path: plain all-pairs at the same
+    hamming cutoff (banding is exact below SIMHASH_CHUNKS, so the
+    result sets must be identical)."""
+    return simhash_pairs_duck(max_hamming)
 
 
 # ---------------------------------------------------------------------------

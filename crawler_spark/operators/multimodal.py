@@ -99,7 +99,10 @@ def decode_batches(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     continue
                 try:
                     vec = _fake_decode(bytes(b))
-                    fmts.append(["jpeg", "png", "webp"][bytes(b)[0] % 3 if b else 0])
+                    # same derivation as mm_meta's sniffed format (first
+                    # md5 byte mod 3) so joint queries agree
+                    fmt_ix = int(hashlib.md5(bytes(b)).hexdigest()[:2], 16) % 3
+                    fmts.append(["jpeg", "png", "webp"][fmt_ix])
                     feats.append([float(x) for x in vec])
                     oks.append(True)
                 except NotImplementedError:

@@ -42,7 +42,7 @@ SELECT doc_id,
             WHEN fr >= es AND fr > 0 THEN 'fr'
             WHEN es > 0 THEN 'es'
             ELSE 'und' END AS pred_lang,
-       round(en / (n + 0.0), 4) AS en_ratio
+       round(cast(en AS double) / n, 4) AS en_ratio
 FROM hits
 """
 
@@ -67,7 +67,7 @@ SELECT doc_id,
             WHEN fr >= es AND fr > 0 THEN 'fr'
             WHEN es > 0 THEN 'es'
             ELSE 'und' END AS pred_lang,
-       round(en / (n + 0.0), 4) AS en_ratio
+       round(cast(en AS double) / n, 4) AS en_ratio
 FROM hits
 """
 
@@ -88,9 +88,9 @@ m AS (
          aggregate(w, 0, (acc, x) -> acc + length(x)) AS chars_in_words
   FROM w)
 SELECT doc_id, n_words, n_chars,
-       round(n_stop / (n_words + 0.0), 4) AS stopword_ratio,
-       round(n_punct / (n_chars + 0.0), 4) AS punct_ratio,
-       round(chars_in_words / (n_words + 0.0), 4) AS mean_word_len,
+       round(cast(n_stop AS double) / n_words, 4) AS stopword_ratio,
+       round(cast(n_punct AS double) / n_chars, 4) AS punct_ratio,
+       round(cast(chars_in_words AS double) / n_words, 4) AS mean_word_len,
        CASE WHEN n_words >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS keep
 FROM m
 """
@@ -107,9 +107,9 @@ m AS (
          list_sum(list_transform(w, x -> length(x))) AS chars_in_words
   FROM w)
 SELECT doc_id, n_words, n_chars,
-       round(n_stop / (n_words + 0.0), 4) AS stopword_ratio,
-       round(n_punct / (n_chars + 0.0), 4) AS punct_ratio,
-       round(chars_in_words / (n_words + 0.0), 4) AS mean_word_len,
+       round(cast(n_stop AS double) / n_words, 4) AS stopword_ratio,
+       round(cast(n_punct AS double) / n_chars, 4) AS punct_ratio,
+       round(cast(chars_in_words AS double) / n_words, 4) AS mean_word_len,
        CASE WHEN n_words >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS keep
 FROM m
 """

@@ -100,13 +100,16 @@ WHERE json_extract_string(props, '$.k') IS NOT NULL
 
 _REL["p7_regex_validators"] = Query(
     # P7 (StringExtension.cs:26-42): the reference's regexes verbatim,
-    # including the [a-zA-z] typo in IsLink.
+    # including the [a-zA-z] typo in IsLink and IsPhoneNum's CN-mobile
+    # pattern (StringExtension.cs:32-36).
     spark_sql="""
 SELECT doc_id,
        CASE WHEN text RLIKE '[a-zA-z]+://[^\\\\s]*' THEN 1 ELSE 0 END
          AS has_link,
        CASE WHEN text RLIKE '\\\\w[-\\\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\\\.)+[A-Za-z]{2,14}'
-            THEN 1 ELSE 0 END AS has_email
+            THEN 1 ELSE 0 END AS has_email,
+       CASE WHEN text RLIKE '0?(13|14|15|17|18|19)[0-9]{9}'
+            THEN 1 ELSE 0 END AS has_phone
 FROM documents
 """,
     oracle="""
@@ -114,7 +117,9 @@ SELECT doc_id,
        CASE WHEN regexp_matches(text, '[a-zA-z]+://[^\\s]*') THEN 1 ELSE 0 END
          AS has_link,
        CASE WHEN regexp_matches(text, '\\w[-\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\.)+[A-Za-z]{2,14}')
-            THEN 1 ELSE 0 END AS has_email
+            THEN 1 ELSE 0 END AS has_email,
+       CASE WHEN regexp_matches(text, '0?(13|14|15|17|18|19)[0-9]{9}')
+            THEN 1 ELSE 0 END AS has_phone
 FROM documents
 """,
 )
@@ -187,26 +192,33 @@ WHERE rn = 1
 )
 
 _REL["j6_variant_anti_join"] = Query(
-    # J6 (ShiweijiaProduct.cs:183): not-yet-visited anti-join
+    # J6 (ShiweijiaProduct.cs:183): not-yet-visited anti-join.
+    # Predicate chosen to be NON-empty at sf0.01 (71 rows) so the
+    # oracle check has teeth — an inverted join direction would fail.
     spark_sql="""
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """,
     oracle="""
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """,
 )
 
 _REL["j7_insert_if_absent"] = Query(
-    # J7 (ShiweijiaCategory.cs:96): exists-gate before insert
+    # J7 (ShiweijiaCategory.cs:96): exists-gate before insert.
+    # Non-empty at sf0.01 (~1.1k rows) — see j6 note.
     spark_sql="""
 SELECT p_partkey FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 49)
 """,
     oracle="""
 SELECT p_partkey FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 49)
 """,
 )
 
@@ -348,17 +360,16 @@ SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
 )
 
 _REL["u3_except_anti"] = Query(
+    # Non-empty at sf0.01 (~357 rows) — see j6 note.
     spark_sql="""
-SELECT DISTINCT p_brand FROM part
+SELECT p_partkey FROM part
 EXCEPT
-SELECT DISTINCT p.p_brand FROM part p
-JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > 45
+SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 47
 """,
     oracle="""
-SELECT DISTINCT p_brand FROM part
+SELECT p_partkey FROM part
 EXCEPT
-SELECT DISTINCT p.p_brand FROM part p
-JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > 45
+SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 47
 """,
 )
 
@@ -440,7 +451,7 @@ _REL["w2_sessionize"] = Query(
     # the batch twin of session_window / applyInPandasWithState
     spark_sql="""
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN unix_millis(cast(ts AS timestamp))
                    - lag(unix_millis(cast(ts AS timestamp)), 1, 0)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -448,7 +459,7 @@ WITH g AS (
   FROM events),
 se AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g)
 SELECT user_id, session_id,
@@ -459,7 +470,7 @@ FROM se GROUP BY user_id, session_id
 """,
     oracle="""
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN epoch_ms(ts)
                    - coalesce(lag(epoch_ms(ts), 1)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
@@ -467,7 +478,7 @@ WITH g AS (
   FROM events),
 se AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g)
 SELECT user_id, session_id,
@@ -498,6 +509,10 @@ _TRAIN: dict[str, Query] = {
     ),
     "dedup_simhash": Query(
         spark_sql=dedup.simhash_pairs_spark(), oracle=dedup.simhash_pairs_duck()
+    ),
+    "dedup_simhash_banded": Query(
+        spark_sql=dedup.simhash_pairs_banded_spark(),
+        oracle=dedup.simhash_pairs_banded_duck(),
     ),
     "dedup_embedding_cosine": Query(
         spark_sql=dedup.embedding_pairs_spark(),
@@ -534,7 +549,18 @@ _TRAIN: dict[str, Query] = {
             multimodal.documents_as_payload(
                 spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             )
-        ).drop("feature")  # array col dropped for stable driver hashing
+        ).drop("feature"),  # array col dropped for stable driver hashing
+        # DuckDB-expressible contract for the non-feature columns (the
+        # feature vector itself stays pytest-verified): byte_len, format
+        # (mm_meta-aligned md5 sniff) and decode_ok are checkable.
+        oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       CASE (('0x' || substring(md5(text), 1, 2))::INTEGER % 3)
+            WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+       true AS decode_ok
+FROM documents
+""",
     ),
 }
 

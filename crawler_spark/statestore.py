@@ -141,9 +141,22 @@ class StateStore:
 
     # -- writes (staged; durable only after commit()) -----------------------
     def write_delta(
-        self, table: str, df: DataFrame, superstep: int, partitions: int = 8
+        self,
+        table: str,
+        df: DataFrame,
+        superstep: int,
+        partitions: int = 8,
+        suffix: str = "",
     ) -> str:
-        path = os.path.join(self.root, table, f"delta-{superstep:06d}")
+        name = f"delta-{superstep:06d}" + (f"-{suffix}" if suffix else "")
+        path = os.path.join(self.root, table, name)
+        if path in self.manifest["tables"][table]:
+            # a second write to the same delta path would overwrite the
+            # first AND double-read it via the manifest — always a bug
+            raise ValueError(
+                f"duplicate delta {path!r} for table {table!r}; "
+                "pass a distinct suffix per write within a superstep"
+            )
         if partitions:
             df = df.coalesce(partitions)
         df.write.mode("overwrite").parquet(path)
