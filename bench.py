@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "w1_window_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_embedding_lsh",
     "text_token_count",
     "text_quality",
     "text_fingerprint",

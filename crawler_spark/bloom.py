@@ -16,12 +16,12 @@ answer skips the exact anti-join entirely; "maybe seen" candidates go
 through the exact ``left_anti`` backstop against the ``url_seen`` table.
 
 Scale note (10^10 keys): at 1% fpp the full structure is ~12 GB — too
-big to broadcast whole. The partitioned layout is exactly what fixes
-that on a real cluster: bitmaps live co-partitioned with the frontier's
-url-hash partitioning, so each executor only ever needs its own
-partition's bitmap (ship-addressed-partitions-only). In local mode we
-broadcast all partitions, which is the degenerate single-node case of
-the same design.
+big to broadcast whole. ``probe_partitioned`` implements the scale
+path: candidates are co-partitioned by bloom pid and each task lazily
+loads ONLY the bitmap files for the pids it holds
+(ship-addressed-partitions-only); no task ever sees the whole
+structure. The broadcast probe remains the small-structure fast path
+(the engine switches on bitmap size — EngineConfig.bloom_probe).
 """
 
 from __future__ import annotations
@@ -174,6 +174,81 @@ class PartitionedBloom:
 
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).mean())
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.bits.nbytes)
+
+    # -- partitioned (executor-side) probe ---------------------------------
+    def save_parts(self, dir_path: str) -> None:
+        """Write one bitmap file per partition — the on-disk layout the
+        partitioned probe addresses (production analog: per-partition
+        bloom objects in the state store, co-located with the frontier's
+        url-hash partitioning)."""
+        os.makedirs(dir_path, exist_ok=True)
+        for pid in range(self.P):
+            path = os.path.join(dir_path, f"part-{pid:05d}.npy")
+            tmp = path + ".tmp.npy"
+            np.save(tmp, self.bits[pid])
+            os.replace(tmp, path)
+
+    def probe_partitioned(
+        self,
+        df: DataFrame,
+        parts_dir: str,
+        url_col: str = "url",
+        emit_loaded: bool = False,
+    ) -> DataFrame:
+        """Membership probe WITHOUT broadcasting the bitmaps: shuffle the
+        candidate urls by bloom pid, then each task lazily loads only the
+        bitmap files for the pids present in its partition. Returns the
+        input plus ``_maybe`` (and, with ``emit_loaded``, the sorted pid
+        list the task actually loaded — mechanism-test hook)."""
+        P, m, k = self.P, self.m, self.k
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("_maybe", T.BooleanType())]
+        )
+        if emit_loaded:
+            out_schema = out_schema.add(
+                T.StructField("_loaded", T.ArrayType(T.IntegerType()))
+            )
+
+        def probe(batches):  # pragma: no cover - executor
+            cache: dict[int, np.ndarray] = {}
+
+            def bits_for(pid: int) -> np.ndarray:
+                if pid not in cache:
+                    cache[pid] = np.load(
+                        os.path.join(parts_dir, f"part-{pid:05d}.npy"),
+                        mmap_mode="r",
+                    )
+                return cache[pid]
+
+            for pdf in batches:
+                out = np.empty(len(pdf), dtype=bool)
+                for i, u in enumerate(pdf[url_col]):
+                    d = hashlib.md5(u.encode("utf-8")).digest()
+                    h1 = int.from_bytes(d[:8], "big")
+                    h2 = int.from_bytes(d[8:16], "big")
+                    idx = (
+                        h1 // P
+                        + np.arange(k, dtype=np.uint64) * np.uint64(h2 % m)
+                    ) % np.uint64(m)
+                    idx = idx.astype(np.int64)
+                    bits = bits_for(h1 % P)
+                    out[i] = bool(np.all((bits[idx // 8] >> (idx % 8)) & 1))
+                res = pdf.drop(columns=["_bpid"]).copy()
+                res["_maybe"] = out
+                if emit_loaded:
+                    res["_loaded"] = [sorted(cache)] * len(res)
+                yield res
+
+        pid = bloom_pid_udf(P)
+        return (
+            df.withColumn("_bpid", pid(F.col(url_col)))
+            .repartition(P, "_bpid")
+            .mapInPandas(probe, out_schema)
+        )
 
 
 def bloom_pid_udf(P: int):

@@ -22,6 +22,7 @@ encodes the same contract; golden tests assert sequence equality.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -56,6 +57,12 @@ class EngineConfig:
     bloom_bits: int = 1 << 17
     bloom_hashes: int = 5
     cuckoo_buckets: int = 1 << 13
+    # bloom probe strategy: 'broadcast' ships all bitmaps in the probe
+    # UDF (fine while the structure is MBs); 'partitioned' co-partitions
+    # candidates by bloom pid so each task loads only its own bitmap
+    # (the 10^10-key path); 'auto' switches on total bitmap size
+    bloom_probe: str = "auto"
+    bloom_broadcast_limit_bytes: int = 64 << 20
     broadcast_batch_limit: int = 2_000_000
     canonicalize_successors: bool = True
     max_supersteps: int = 10_000
@@ -132,16 +139,23 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = config or EngineConfig()
         self.store = StateStore(spark, state_dir, fresh=fresh)
-        # cache the corpus at full parallelism: a single-file sandbox
-        # corpus has few row groups, which would cap every downstream
-        # stage's task count (a real 100 TB table is thousands of files)
-        n_part = min(512, spark.sparkContext.defaultParallelism * 4)
-        self.pages = (
-            spark.read.schema(schemas.PAGES)
-            .parquet(pages_path)
-            .repartition(n_part)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        self._seed_rows: list[tuple[int, int]] | None = None
+        # Corpus layout gate: a 100 TB table arrives as thousands of
+        # files — scan it per superstep and let Catalyst prune columns
+        # (an init-time full-table repartition+persist of the html
+        # column would be fatal at that scale). Only a small-file
+        # sandbox corpus, whose few row groups would cap every
+        # downstream stage's task count, is rebalanced and cached.
+        src = spark.read.schema(schemas.PAGES).parquet(pages_path)
+        if self._corpus_file_count(pages_path) >= (
+            spark.sparkContext.defaultParallelism
+        ):
+            self.pages = src
+        else:
+            n_part = min(512, spark.sparkContext.defaultParallelism * 4)
+            self.pages = src.repartition(n_part).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         self.robots = spark.read.schema(schemas.ROBOTS).parquet(robots_path)
         self.seeds_path = seeds_path
         if self.store.manifest["frontier"] is None:
@@ -151,6 +165,18 @@ class CrawlEngine:
             PartitionedCuckoo.load if kind == "cuckoo" else PartitionedBloom.load
         )
         self.bloom = loader(self.store.manifest["bloom"])
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _corpus_file_count(pages_path: str) -> int:
+        if not os.path.isdir(pages_path):
+            return 1
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(pages_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
     # ------------------------------------------------------------------
     def _init_frontier(self) -> None:
@@ -293,20 +319,13 @@ class CrawlEngine:
         # ---- frontier update: succ ∖ (seen ∪ frontier), first-wins ----
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
         new_rows = self._new_frontier_rows(successors, remaining, batch, s)
-        n_new = new_rows.count() if new_rows is not None else 0
-
-        _tick("frontier_new")
         # url_seen needs no separate write: it is the (url, superstep)
         # projection of crawl_log (statestore derives it on read)
         errors = error_frames[0]
         for e in error_frames[1:]:
             errors = errors.unionByName(e)
-        errors = errors.persist()
-        n_err = errors.count()
-        if n_err:
-            store.write_delta("errors", errors, s)
+        errors = errors.persist(StorageLevel.MEMORY_AND_DISK)
 
-        _tick("errors_seen")
         frontier_next = remaining.select(*_FRONTIER_COLS)
         if new_rows is not None:
             frontier_next = frontier_next.unionByName(
@@ -315,12 +334,33 @@ class CrawlEngine:
         store.write_frontier(frontier_next, s)
 
         _tick("frontier_write")
+        # ---- ONE tagged agg job yields n_new, n_err AND the per-pid
+        # lineage counts (previously three separate actions — constant
+        # per-superstep barrier cost that capped loop scaling) ----
+        tagged = batch.select(_ckpt_pid().alias("pid"), F.lit("f").alias("t"))
+        if new_rows is not None:
+            tagged = tagged.unionByName(
+                new_rows.select(_ckpt_pid().alias("pid"), F.lit("n").alias("t"))
+            )
+        tagged = tagged.unionByName(
+            errors.select(_ckpt_pid().alias("pid"), F.lit("e").alias("t"))
+        )
+        counts = tagged.groupBy("pid", "t").count().collect()
+        fetched_c = {r["pid"]: r["count"] for r in counts if r["t"] == "f"}
+        new_c = {r["pid"]: r["count"] for r in counts if r["t"] == "n"}
+        n_new = sum(new_c.values())
+        n_err = sum(r["count"] for r in counts if r["t"] == "e")
+
+        _tick("lineage_agg")
+        if n_err:
+            store.write_delta("errors", errors, s)
+
+        _tick("errors_write")
         # ---- bloom: add fetched urls + newly admitted frontier urls ----
         delta_urls = batch.select("url")
-        n_delta = n_batch
+        n_delta = n_batch + n_new
         if new_rows is not None:
             delta_urls = delta_urls.unionByName(new_rows.select("url"))
-            n_delta += n_new
         self.bloom.add_df(
             delta_urls, collect_threshold=100_000, n_rows=n_delta
         )
@@ -330,7 +370,7 @@ class CrawlEngine:
 
         _tick("bloom")
         # ---- per-partition lineage counters (north rule) ----
-        self._write_checkpoint(s, frontier, batch, new_rows, n_err)
+        self._write_checkpoint(s, frontier, fetched_c, new_c, n_err)
 
         _tick("checkpoint")
         if cfg.compact_every and s % cfg.compact_every == 0:
@@ -529,6 +569,8 @@ class CrawlEngine:
                 s,
             )
             store.manifest["counters"]["max_cat_seq"] = max_seq + n_new_cats
+            if n_new_cats:
+                self._seed_rows = None  # invalidate the cached seed index
             self._append_img_cache(
                 new_cats.filter(
                     F.col("_img_link").isNotNull() & (F.col("_img_link") != "")
@@ -548,12 +590,7 @@ class CrawlEngine:
 
         # seed index: rank of leaf categories in global insertion order
         # (the reference's OrderBy(UpdateDate) seed priority, O1/P1)
-        seed_idx = (
-            store.read("categories")
-            .filter(F.col("parent_id").isNotNull())
-            .withColumn("sidx", F.row_number().over(Window.orderBy("seq")) - 1)
-            .select(F.col("id").alias("_cat"), "sidx")
-        )
+        seed_idx = self._seed_idx_df()
 
         if n_cat:
             # listing page-1 successors for every leaf on the page
@@ -637,6 +674,30 @@ class CrawlEngine:
             )
 
     # ------------------------------------------------------------------
+    def _seed_idx_df(self) -> DataFrame:
+        """Leaf-category → global stale-first rank (O1/P1), cached
+        driver-side. Categories are a dimension table that changes only
+        on category supersteps; before this cache every superstep
+        re-read the table and re-ranked it through a partitionless
+        global window (a single-task sort) inside each successor plan —
+        pure barrier cost. The cache is one collect per invalidation."""
+        if self._seed_rows is None:
+            if self.store.has_rows("categories"):
+                ids = (
+                    self.store.read("categories")
+                    .filter(F.col("parent_id").isNotNull())
+                    .orderBy("seq")
+                    .select("id")
+                    .collect()
+                )
+                self._seed_rows = [(int(r["id"]), i) for i, r in enumerate(ids)]
+            else:
+                self._seed_rows = []
+        return self.spark.createDataFrame(
+            self._seed_rows, schema="_cat long, sidx int"
+        )
+
+    # ------------------------------------------------------------------
     def _append_img_cache(self, links: DataFrame, s: int, suffix: str = ""):
         """Insert-if-absent into the md5-keyed image cache (J4).
 
@@ -704,8 +765,7 @@ class CrawlEngine:
         succ = robots_allowed(succ, self.robots)
 
         # bloom prefilter: definite-new rows skip the exact anti-join
-        probe = self.bloom.probe_udf(self.spark)
-        succ = succ.withColumn("_maybe", probe(F.col("url")))
+        succ = self._probe_maybe_seen(succ)
         # seen = url_seen table ∪ this superstep's batch (its delta is not
         # written yet — self-referencing variant successors must not
         # re-enter) ∪ the remaining frontier
@@ -728,13 +788,38 @@ class CrawlEngine:
         return new_rows
 
     # ------------------------------------------------------------------
-    def _write_checkpoint(self, s, frontier, batch, new_rows, n_err):
+    def _probe_maybe_seen(self, succ: DataFrame) -> DataFrame:
+        """URL-seen prefilter (adds ``_maybe``). Below the size threshold
+        the bitmaps ride in the probe UDF closure — the degenerate
+        single-node case. Above it (a 10^10-key bloom is ~12 GB at 1%
+        fpp) candidates are co-partitioned by bloom pid and each task
+        loads only its own partition's bitmap from the state dir —
+        ship-addressed-partitions-only (SURVEY.md §7.3-4, implemented)."""
+        cfg = self.cfg
+        partitioned = isinstance(self.bloom, PartitionedBloom) and (
+            cfg.bloom_probe == "partitioned"
+            or (
+                cfg.bloom_probe == "auto"
+                and self.bloom.nbytes > cfg.bloom_broadcast_limit_bytes
+            )
+        )
+        if partitioned:
+            parts_dir = os.path.join(self.store.root, "_bloom_parts")
+            self.bloom.save_parts(parts_dir)
+            return self.bloom.probe_partitioned(succ, parts_dir)
+        probe = self.bloom.probe_udf(self.spark)
+        return succ.withColumn("_maybe", probe(F.col("url")))
+
+    # ------------------------------------------------------------------
+    def _write_checkpoint(self, s, frontier, fetched_c, new_c, n_err):
         """Per-url-hash-partition lineage counters (north rule).
 
         rows_in is carried forward from the previous superstep's
         committed rows_out (telescoping invariant, verified by the
         frontier-conservation test) — re-scanning the whole frontier per
-        superstep just to count it would be pure overhead at scale."""
+        superstep just to count it would be pure overhead at scale; the
+        per-pid fetched/new counts arrive from the superstep's single
+        tagged agg job."""
         prev = self.store.manifest["counters"].get("pid_rows_out")
         if prev is not None:
             rows_in = {int(k): v for k, v in prev.items()}
@@ -745,17 +830,6 @@ class CrawlEngine:
                 .count()
                 .collect()
             }
-        # one union-agg job covers both batch and new-row counts
-        tagged = batch.select("url", F.lit("f").alias("t"))
-        if new_rows is not None:
-            tagged = tagged.unionByName(
-                new_rows.select("url", F.lit("n").alias("t"))
-            )
-        counts = (
-            tagged.groupBy(_ckpt_pid().alias("pid"), "t").count().collect()
-        )
-        fetched_c = {r["pid"]: r["count"] for r in counts if r["t"] == "f"}
-        new_c = {r["pid"]: r["count"] for r in counts if r["t"] == "n"}
         rows = []
         pid_rows_out = {}
         for pid in range(_CKPT_PARTS):

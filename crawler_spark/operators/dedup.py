@@ -338,6 +338,100 @@ FROM p WHERE cos >= {threshold}
 """
 
 
+EMB_DIM = 64
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 4  # bits per band; 8 bands × 4 bits = 32 hyperplanes
+
+
+def _hyperplane_sign_spark(t: int) -> str:
+    """'1'/'0' sign bit of dot(v, s_t) where hyperplane s_t has ±1
+    components from md5 parity of 't:i' — deterministic and identical
+    in both engines (no RNG, no broadcast model)."""
+    comp = (
+        "CASE WHEN pmod(cast(conv(substring(md5(concat("
+        f"'{t}:', cast(i as string))), 1, 1), 16, 10) as int), 2) = 1 "
+        "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END"
+    )
+    dot = (
+        f"aggregate(zip_with(v, transform(sequence(0, {EMB_DIM - 1}), "
+        f"i -> {comp}), (x, s) -> x * s), cast(0.0 as double), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
+def _hyperplane_sign_duck(t: int) -> str:
+    comp = (
+        f"CASE WHEN (('0x' || substring(md5('{t}:' || (i - 1)), 1, 1))"
+        "::INTEGER % 2) = 1 THEN 1.0 ELSE -1.0 END"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> v[i] * ({comp})))"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
+def _embedding_lsh_body(sign_fn, dot_sql: str, norm_sql, cast_cte: str,
+                        threshold: float) -> str:
+    """Random-hyperplane LSH near-dup (the 100-TB path for
+    dedup_embedding_cosine): band keys from hyperplane sign bits, pair
+    candidates from a hash equi-join on (band, key) — never an
+    all-pairs nested loop — then exact cosine confirm on candidates
+    only. Deterministic in both engines, so the DuckDB oracle checks
+    values; recall vs brute force is pytest-asserted separately."""
+    band_rows = []
+    for b in range(EMB_LSH_BANDS):
+        bits = ", ".join(
+            sign_fn(b * EMB_LSH_BITS + r) for r in range(EMB_LSH_BITS)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, concat({bits}) AS bkey FROM e"
+        )
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH e AS ({cast_cte}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+p AS (
+  SELECT c.vec_a, c.vec_b,
+         {dot_sql} / ({norm_sql.format(v='a.v')} * {norm_sql.format(v='b.v')})
+           AS cos
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_a
+  JOIN e b ON b.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM p WHERE cos >= {threshold}
+"""
+
+
+def embedding_lsh_spark(threshold: float = 0.35) -> str:
+    cast_cte = (
+        "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v "
+        "FROM embeddings"
+    )
+    return _embedding_lsh_body(
+        _hyperplane_sign_spark, _SPARK_DOT, _SPARK_NORM, cast_cte, threshold
+    )
+
+
+def embedding_lsh_duck(threshold: float = 0.35) -> str:
+    cast_cte = (
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        "FROM embeddings"
+    )
+    return _embedding_lsh_body(
+        _hyperplane_sign_duck,
+        "list_dot_product(a.v, b.v)",
+        "sqrt(list_dot_product({v}, {v}))",
+        cast_cte,
+        threshold,
+    )
+
+
 def embedding_pairs_duck(threshold: float = 0.35) -> str:
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

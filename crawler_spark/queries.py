@@ -518,6 +518,10 @@ _TRAIN: dict[str, Query] = {
         spark_sql=dedup.embedding_pairs_spark(),
         oracle=dedup.embedding_pairs_duck(),
     ),
+    "dedup_embedding_lsh": Query(
+        spark_sql=dedup.embedding_lsh_spark(),
+        oracle=dedup.embedding_lsh_duck(),
+    ),
     "ann_brute_topk": Query(
         spark_sql=similarity.brute_topk_spark(),
         oracle=similarity.brute_topk_duck(),

@@ -23,21 +23,9 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+from .psl import default_psl
 
-# Minimal public-suffix list standing in for the full PSL (which ships as a
-# data file in production deployments; injectable here). Two-level suffixes
-# cover the common ccTLD patterns exercised by tests + fixtures.
-_TWO_LEVEL_SUFFIXES = frozenset(
-    {
-        "co.uk", "org.uk", "ac.uk", "gov.uk",
-        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-        "com.au", "net.au", "org.au",
-        "co.jp", "ne.jp", "or.jp", "ac.jp",
-        "com.br", "com.mx", "co.in", "co.kr", "com.tw", "com.hk",
-        "com.sg", "co.za", "com.ar", "com.tr",
-    }
-)
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 
 def canonicalize_url(url: str, base: str | None = None) -> str | None:
@@ -79,7 +67,13 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
 
 
 def registrable_domain(host_or_url: str) -> str | None:
-    """Registrable domain (eTLD+1) of a host or URL, mini-PSL backed."""
+    """Registrable domain (eTLD+1) of a host or URL, backed by the full
+    PSL matching algorithm over a data-file rule set (crawler_spark/
+    data/public_suffix_list.dat; inject the upstream list via
+    psl.set_default_psl for production). Wildcards, exceptions and
+    multi-level rules are honored — this is the politeness fairness key
+    (SURVEY.md §4.2-1), so collapsing e.g. all of *.co.uk into one
+    budget would starve whole country zones."""
     if not host_or_url:
         return None
     s = host_or_url
@@ -88,16 +82,7 @@ def registrable_domain(host_or_url: str) -> str | None:
             s = urlsplit(s).hostname or ""
         except ValueError:
             return None
-    s = s.lower().rstrip(".")
-    if not s:
-        return None
-    labels = s.split(".")
-    if len(labels) <= 1:
-        return s
-    two = ".".join(labels[-2:])
-    if two in _TWO_LEVEL_SUFFIXES and len(labels) >= 3:
-        return ".".join(labels[-3:])
-    return two
+    return default_psl().registrable_domain(s)
 
 
 def url_key_value(url: str, key: str) -> str | None:

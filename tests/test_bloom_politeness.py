@@ -141,6 +141,76 @@ def test_cuckoo_no_false_negatives_fpp_delete(spark):
         assert c2.contains(urls[1])
 
 
+def test_partitioned_probe_equals_broadcast(spark, tmp_path):
+    """The executor-side partitioned probe (per-pid bitmap files, no
+    broadcast) must answer identically to the broadcast probe, and each
+    task must load only the bitmaps for pids present in its partition —
+    never the whole structure (VERDICT r1 item 4)."""
+    seen = [f"https://h{i % 61}.example.com/p/{i}" for i in range(10_000)]
+    b = PartitionedBloom(n_partitions=16, m_bits=1 << 16, k=5)
+    b.add_df(spark.createDataFrame([(u,) for u in seen], "url string"))
+    parts_dir = str(tmp_path / "parts")
+    b.save_parts(parts_dir)
+
+    mixed = seen[::3] + [
+        f"https://h{i % 47}.unseen.net/q/{i}" for i in range(10_000)
+    ]
+    df = spark.createDataFrame([(u,) for u in mixed], "url string")
+
+    bc = {r["url"]: r["m"] for r in
+          df.withColumn("m", b.probe_udf(spark)("url")).collect()}
+    part_rows = b.probe_partitioned(
+        df, parts_dir, emit_loaded=True
+    ).collect()
+    pp = {r["url"]: r["_maybe"] for r in part_rows}
+    assert pp == bc  # identical answers, url for url
+
+    # mechanism: no task loaded all 16 bitmaps, and every pid is owned
+    # by exactly one task (hash partitioning may co-locate a few pids
+    # per task; ship-everything would show 16 everywhere). _loaded
+    # accumulates across a task's Arrow batches, so the per-task final
+    # load set is the maximal set; earlier batches emit prefixes of it.
+    sets = {frozenset(r["_loaded"]) for r in part_rows}
+    maximal = [s for s in sets if not any(s < t for t in sets)]
+    assert all(0 < len(s) < b.P for s in maximal)
+    all_loaded = [pid for s in maximal for pid in s]
+    assert len(all_loaded) == len(set(all_loaded)), (
+        "a bloom partition was shipped to more than one task"
+    )
+
+
+def test_engine_crawl_with_partitioned_probe(spark, smoke_dir, smoke_corpus, tmp_path):
+    """Full crawl forced onto the partitioned probe path reaches the
+    oracle's url_seen set and page count (path equivalence end-to-end)."""
+    from crawler_spark import oracle
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.urltools import registrable_domain
+
+    golden = oracle.simulate_crawl(
+        smoke_corpus.pages,
+        smoke_corpus.seeds,
+        smoke_corpus.robots,
+        registrable_domain,
+        budget_ms=30_000,
+        max_k=1_000,
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=f"{smoke_dir}/pages.parquet",
+        seeds_path=f"{smoke_dir}/seeds.parquet",
+        robots_path=f"{smoke_dir}/robots.parquet",
+        state_dir=str(tmp_path / "pp-state"),
+        config=EngineConfig(
+            budget_ms=30_000, max_k=1_000, bloom_probe="partitioned"
+        ),
+        fresh=True,
+    )
+    summary = eng.run(max_supersteps=200)
+    assert summary["pages_fetched"] == len(golden.crawl_order)
+    seen = {r.url for r in eng.store.read("url_seen").select("url").collect()}
+    assert seen == golden.url_seen
+
+
 def test_engine_runs_with_cuckoo_seen_filter(spark, smoke_dir, smoke_corpus, tmp_path):
     """The full crawl with seen_filter='cuckoo' reaches the same
     url_seen set and page count as the oracle."""

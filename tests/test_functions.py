@@ -103,12 +103,28 @@ def test_nonce_deterministic_11_hex(spark):
 
 
 def test_content_type_map(spark):
-    df = spark.createDataFrame([("JPG",), ("png",), ("weird",)], "e string")
+    # full reference dictionary (FileHelper.cs:601-936) — spot-check
+    # entries from several media classes + the octet-stream fallback
+    df = spark.createDataFrame(
+        [("JPG",), ("png",), ("weird",), ("wav",), ("xhtml",), ("wmv",),
+         ("ppt",), ("tif",)],
+        "e string",
+    )
     got = [
         r.ct
         for r in df.select(cf.content_type_for(F.col("e")).alias("ct")).collect()
     ]
-    assert got == ["image/jpeg", "image/png", "application/octet-stream"]
+    assert got == [
+        "image/jpeg",
+        "image/png",
+        "application/octet-stream",
+        "audio/wav",
+        "text/html",
+        "video/x-ms-wmv",
+        "application/vnd.ms-powerpoint",
+        "image/tiff",
+    ]
+    assert len(cf._CONTENT_TYPES) > 300
 
 
 def test_bom_decode_and_sniff(spark):

@@ -37,6 +37,27 @@ def test_ann_ivf_structure_and_recall(spark):
     assert all(r.cos_sim <= bmax + 1e-9 for r in approx)
 
 
+def test_embedding_lsh_recall_and_precision(spark):
+    """Random-hyperplane LSH near-dup (the scale path of
+    dedup_embedding_cosine): every emitted pair must also be a true
+    brute-force pair at the same threshold (exact confirm ⇒ perfect
+    precision), and recall at 8 bands × 4 bits must clear a floor."""
+    from crawler_spark.queries import all_queries
+
+    qs = all_queries()
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in qs["dedup_embedding_lsh"].run(spark, SF_DIR).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in qs["dedup_embedding_cosine"].run(spark, SF_DIR).collect()
+    }
+    assert lsh <= brute, "LSH emitted a pair brute force rejects"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.55, f"embedding-LSH recall too low: {recall:.3f}"
+
+
 def test_mm_decode_plumbing(spark):
     from crawler_spark.operators.multimodal import (
         decode_batches,
