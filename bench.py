@@ -91,6 +91,8 @@ def bench_crawl(spark, n_products: int, state_root: str) -> dict:
             max_k=500_000,
             bloom_bits=1 << 21,
             stop_when_frontier_below=300,
+            adaptive_budget=True,
+            adaptive_min_batch=max(5_000, n_products // 10),
         ),
         fresh=True,
     )

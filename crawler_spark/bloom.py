@@ -62,8 +62,33 @@ class PartitionedBloom:
         np.bitwise_or.at(self.bits[pid], idx // 8, (1 << (idx % 8)).astype(np.uint8))
 
     def add_many(self, urls: Iterable[str]) -> None:
-        for u in urls:
-            self.add(u)
+        """Vectorized bulk insert (same positions as :meth:`add`): one
+        md5 pass, then batched numpy bit-sets per partition — the
+        per-url numpy path costs ~30 µs/url, which at 10^5-url
+        superstep deltas was seconds of driver-side constant."""
+        urls = urls if isinstance(urls, list) else list(urls)
+        if not urls:
+            return
+        n, P, m, k = len(urls), self.P, self.m, self.k
+        h1s = np.empty(n, dtype=np.uint64)
+        h2s = np.empty(n, dtype=np.uint64)
+        for i, u in enumerate(urls):
+            d = hashlib.md5(u.encode("utf-8")).digest()
+            h1s[i] = int.from_bytes(d[:8], "big")
+            h2s[i] = int.from_bytes(d[8:16], "big")
+        pids = (h1s % np.uint64(P)).astype(np.int64)
+        idx = (
+            (h1s // np.uint64(P))[:, None]
+            + np.arange(k, dtype=np.uint64)[None, :] * (h2s % np.uint64(m))[:, None]
+        ) % np.uint64(m)
+        idx = idx.astype(np.int64)
+        bytepos = idx // 8
+        bitval = (1 << (idx % 8)).astype(np.uint8)
+        for pid in np.unique(pids):
+            sel = pids == pid
+            np.bitwise_or.at(
+                self.bits[pid], bytepos[sel].ravel(), bitval[sel].ravel()
+            )
 
     def contains(self, url: str) -> bool:
         pid, idx = self._positions(url)

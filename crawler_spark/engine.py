@@ -70,11 +70,24 @@ class EngineConfig:
     # politeness tails on huge-crawl-delay hosts otherwise pad dozens of
     # near-empty supersteps; 0 = drain fully)
     stop_when_frontier_below: int = 0
+    # Adaptive superstep sizing (off by default; golden tests use the
+    # fixed cadence): when a superstep's batch lands under
+    # adaptive_min_batch, the next superstep simulates a longer
+    # politeness window (budget × 2^j, capped) — per-host fetch RATE is
+    # unchanged (k = window/delay), but the barrier count on long
+    # politeness tails collapses. A superstep is a simulated time
+    # window, not a wall-clock unit, so widening it preserves the
+    # politeness contract by construction.
+    adaptive_budget: bool = False
+    adaptive_min_batch: int = 5_000
+    adaptive_max_mult: int = 64
     # small per-superstep deltas are coalesced before write (file-count
     # and task-overhead control; Iceberg compaction analog)
     delta_write_partitions: int = 8
-    # loop-read state tables are compacted every K supersteps
-    compact_every: int = 16
+    # loop-read state tables are compacted every K supersteps (url_seen
+    # derives from crawl_log, which every superstep's anti-join scans —
+    # file-count growth there is direct barrier cost)
+    compact_every: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -165,6 +178,7 @@ class CrawlEngine:
             PartitionedCuckoo.load if kind == "cuckoo" else PartitionedBloom.load
         )
         self.bloom = loader(self.store.manifest["bloom"])
+        self._budget_mult = 1
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -229,12 +243,14 @@ class CrawlEngine:
         store = self.store
         s = store.manifest["superstep"] + 1
         t0 = time.monotonic()
+        self._superstep_persists: list[DataFrame] = []
 
         frontier = store.read_frontier().persist(StorageLevel.MEMORY_AND_DISK)
+        budget_ms = cfg.budget_ms * self._budget_mult
         batch = politeness_take(
             frontier,
             self.robots,
-            cfg.budget_ms,
+            budget_ms,
             cfg.max_k,
             cfg.n_salts,
             cfg.default_crawl_delay_ms,
@@ -334,41 +350,58 @@ class CrawlEngine:
         store.write_frontier(frontier_next, s)
 
         _tick("frontier_write")
-        # ---- ONE tagged agg job yields n_new, n_err AND the per-pid
-        # lineage counts (previously three separate actions — constant
-        # per-superstep barrier cost that capped loop scaling) ----
+        # ---- two independent read-only jobs over the now-cached frames
+        # run CONCURRENTLY (batch/new_rows were materialized by the
+        # frontier write; errors is touched only by the agg thread):
+        #  A. one tagged agg yields n_new, n_err AND the per-pid lineage
+        #     counts (previously three separate actions),
+        #  B. the bloom delta build (limit-guarded driver collect for
+        #     small deltas, distributed partition build for large).
+        # Sequentially these are each mostly job-scheduling latency —
+        # constant per superstep — so overlapping them buys back real
+        # barrier time at zero semantic cost. ----
         tagged = batch.select(_ckpt_pid().alias("pid"), F.lit("f").alias("t"))
+        delta_urls = batch.select("url")
         if new_rows is not None:
             tagged = tagged.unionByName(
                 new_rows.select(_ckpt_pid().alias("pid"), F.lit("n").alias("t"))
             )
+            delta_urls = delta_urls.unionByName(new_rows.select("url"))
         tagged = tagged.unionByName(
             errors.select(_ckpt_pid().alias("pid"), F.lit("e").alias("t"))
         )
-        counts = tagged.groupBy("pid", "t").count().collect()
+
+        def _bloom_update() -> None:
+            head = delta_urls.limit(100_001).collect()
+            if len(head) <= 100_000:
+                self.bloom.add_many([r[0] for r in head])
+            else:
+                self.bloom.merge_deltas(self.bloom.build_deltas(delta_urls))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_counts = pool.submit(
+                lambda: tagged.groupBy("pid", "t").count().collect()
+            )
+            f_bloom = pool.submit(_bloom_update)
+            counts = f_counts.result()
+            f_bloom.result()
         fetched_c = {r["pid"]: r["count"] for r in counts if r["t"] == "f"}
         new_c = {r["pid"]: r["count"] for r in counts if r["t"] == "n"}
         n_new = sum(new_c.values())
         n_err = sum(r["count"] for r in counts if r["t"] == "e")
 
-        _tick("lineage_agg")
+        _tick("lineage_agg_bloom")
         if n_err:
             store.write_delta("errors", errors, s)
 
         _tick("errors_write")
-        # ---- bloom: add fetched urls + newly admitted frontier urls ----
-        delta_urls = batch.select("url")
-        n_delta = n_batch + n_new
-        if new_rows is not None:
-            delta_urls = delta_urls.unionByName(new_rows.select("url"))
-        self.bloom.add_df(
-            delta_urls, collect_threshold=100_000, n_rows=n_delta
-        )
         bpath = store.bloom_path(s)
         self.bloom.save(bpath)
         store.set_bloom(bpath)
 
-        _tick("bloom")
+        _tick("bloom_save")
         # ---- per-partition lineage counters (north rule) ----
         self._write_checkpoint(s, frontier, fetched_c, new_c, n_err)
 
@@ -376,6 +409,14 @@ class CrawlEngine:
         if cfg.compact_every and s % cfg.compact_every == 0:
             for table in ("crawl_log", "img_cache", "brands", "categories"):
                 store.compact(table, s)
+
+        if cfg.adaptive_budget:
+            if n_batch < cfg.adaptive_min_batch:
+                self._budget_mult = min(
+                    cfg.adaptive_max_mult, self._budget_mult * 2
+                )
+            elif n_batch >= 4 * cfg.adaptive_min_batch:
+                self._budget_mult = 1
 
         c = store.manifest["counters"]
         c["pages_fetched"] = c.get("pages_fetched", 0) + n_batch
@@ -389,6 +430,8 @@ class CrawlEngine:
         if details is not None:
             details.unpersist()
         errors.unpersist()
+        for df in self._superstep_persists:
+            df.unpersist()
         return {
             "superstep": s,
             "fetched": n_batch,
@@ -615,7 +658,12 @@ class CrawlEngine:
             successors.append(succ_cat)
 
         if n_listing:
-            lst = extract_listings(fetched.filter(F.col("kind") == "listing"))
+            # three consumers (detail successors, page successors, error
+            # frame) — persist so the JSON extraction runs once
+            lst = extract_listings(
+                fetched.filter(F.col("kind") == "listing")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._superstep_persists.append(lst)
             lok = (
                 lst.filter(F.col("ok"))
                 .withColumn("_cat", _qparam("category"))

@@ -48,12 +48,17 @@ def epoch_seconds(ts: Column) -> Column:
 
 
 def url_encode_upper(col: Column) -> Column:
-    """F6: URL-encode with uppercase %XX (StringExtension.cs:44-56,84-92
-    — .NET HttpUtility.UrlEncode then EncodeToUpper). Java's URLEncoder
-    already emits uppercase hex and '+' for space, matching the
-    composed reference behavior; divergence only on '!'/'(' /')'
-    (escaped here, kept raw by .NET) — documented, not crawl-relevant."""
-    return F.url_encode(col)
+    """F6: byte-exact ToUrlEncode parity (StringExtension.cs:44-56,84-92
+    — .NET Uri.EscapeDataString then EncodeToUpper): RFC 3986 unreserved
+    set kept raw, space as %20, uppercase hex. Java's URLEncoder differs
+    on exactly three points — space→'+', '~'→'%7E', '*' kept raw —
+    fixed up post-hoc ('+'/'~'/'*' in the encoder output can only arise
+    from those inputs, so the rewrites are unambiguous)."""
+    e = F.url_encode(col)
+    e = F.regexp_replace(e, r"\+", "%20")
+    e = F.regexp_replace(e, "%7E", "~")
+    e = F.regexp_replace(e, r"\*", "%2A")
+    return e
 
 
 def deterministic_nonce(url: Column, superstep: Column) -> Column:

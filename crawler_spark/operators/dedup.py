@@ -308,6 +308,88 @@ def simhash_pairs_banded_duck(
     return simhash_pairs_duck(max_hamming)
 
 
+def simhash_banded_df(spark, sf_dir: str,
+                      max_hamming: int = SIMHASH_BANDED_MAX_HAMMING):
+    """DataFrame implementation of the banded SimHash pairs — the form
+    a production pipeline runs. Differences vs the pure-SQL variant
+    (simhash_pairs_banded_spark, kept as documentation):
+
+    - fingerprints are computed ONCE and persisted (SQL CTEs get
+      re-inlined at every reference — 10 recomputes of the 64-sum agg),
+    - chunks come from one posexplode pass instead of an 8-way UNION,
+    - hamming is bit_count(xor) over two packed 32-bit ints, not 64
+      substring comparisons per candidate.
+
+    Same results as the DuckDB all-pairs oracle (pigeonhole-exact for
+    max_hamming ≤ SIMHASH_CHUNKS-1)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    assert max_hamming < SIMHASH_CHUNKS
+    spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).createOrReplaceTempView("documents")
+    width = 64 // SIMHASH_CHUNKS
+    fp = (
+        spark.sql(simhash_fingerprints_spark())
+        .withColumn(
+            "h1", F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+        )
+        .withColumn(
+            "h2", F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
+        )
+        .persist()
+    )
+    chunks = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", c * width + 1, width)
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk", "ck"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("a1"),
+        F.col("h2").alias("a2"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("b1"),
+        F.col("h2").alias("b2"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+                + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup pairs (brute force; ANN path in similarity.py)
 # ---------------------------------------------------------------------------

@@ -511,7 +511,7 @@ _TRAIN: dict[str, Query] = {
         spark_sql=dedup.simhash_pairs_spark(), oracle=dedup.simhash_pairs_duck()
     ),
     "dedup_simhash_banded": Query(
-        spark_sql=dedup.simhash_pairs_banded_spark(),
+        fn=lambda spark, sf_dir: dedup.simhash_banded_df(spark, sf_dir),
         oracle=dedup.simhash_pairs_banded_duck(),
     ),
     "dedup_embedding_cosine": Query(

@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--bloom-bits", type=int, default=1 << 21)
     ap.add_argument("--stop-frontier-below", type=int, default=0)
     ap.add_argument(
+        "--adaptive-budget",
+        action="store_true",
+        default=False,
+        help="widen the simulated politeness window when batches are "
+        "tiny (same per-host rate, far fewer barriers on long tails)",
+    )
+    ap.add_argument("--adaptive-min-batch", type=int, default=5_000)
+    ap.add_argument(
         "--fresh",
         action="store_true",
         default=False,
@@ -57,6 +65,8 @@ def main() -> None:
             max_k=args.max_k,
             bloom_bits=args.bloom_bits,
             stop_when_frontier_below=args.stop_frontier_below,
+            adaptive_budget=args.adaptive_budget,
+            adaptive_min_batch=args.adaptive_min_batch,
         ),
         fresh=args.fresh,
     )

@@ -81,9 +81,24 @@ def test_hashes_and_encodings(spark):
     assert row.h == hashlib.sha1(raw).hexdigest()
     assert row.b == base64.b64encode(raw).decode()
     assert row.fm == hashlib.md5(raw).hexdigest().upper()
-    from urllib.parse import quote_plus
+    from urllib.parse import quote
 
-    assert row.u == quote_plus("héllo 世界")  # '+' space, uppercase %XX
+    # byte-exact Uri.EscapeDataString semantics: RFC 3986 unreserved
+    # kept raw, %20 space, uppercase hex — quote(safe='') is the same
+    # contract, so it is the oracle
+    assert row.u == quote("héllo 世界", safe="")
+
+
+def test_url_encode_escapedatastring_edges(spark):
+    from urllib.parse import quote
+
+    cases = ["a b", "a+b", "x~y", "w*z", "it's!", "(par)ens", "100%"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [
+        r.u
+        for r in df.select(cf.url_encode_upper(F.col("s")).alias("u")).collect()
+    ]
+    assert got == [quote(s, safe="") for s in cases]
 
 
 def test_nonce_deterministic_11_hex(spark):

@@ -107,3 +107,31 @@ def test_compaction_preserves_state_and_resume(spark, smoke_dir, tmp_path):
     b = _snapshot(spark, resumed)
     for table in a:
         assert a[table] == b[table], f"{table} differs with compaction"
+
+
+def test_statestore_rejects_duplicate_delta(spark, tmp_path):
+    """Two writes to the same (table, superstep) delta path would
+    overwrite each other AND be read twice via the manifest — the store
+    must refuse; a distinct suffix keeps same-superstep writes apart
+    (the engine uses this for detail- vs category-page img_cache)."""
+    import pytest
+
+    from crawler_spark.statestore import StateStore
+
+    store = StateStore(spark, str(tmp_path / "dup-store"), fresh=True)
+    df = spark.createDataFrame(
+        [("k1", "u1")], "md5_key string, uploaded_url string"
+    )
+    store.write_delta("img_cache", df, 3)
+    with pytest.raises(ValueError, match="duplicate delta"):
+        store.write_delta("img_cache", df, 3)
+    # distinct suffixes land in distinct dirs and both are readable
+    store.write_delta(
+        "img_cache",
+        spark.createDataFrame(
+            [("k2", "u2")], "md5_key string, uploaded_url string"
+        ),
+        3,
+        suffix="cat",
+    )
+    assert store.read("img_cache").count() == 2
