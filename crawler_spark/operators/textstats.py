@@ -157,3 +157,103 @@ SELECT doc_id,
        count(*) AS n_shingles
 FROM h GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection: corpus-frequency shingle analysis per source
+# ---------------------------------------------------------------------------
+# The CCNet/RefinedWeb-style cleanup step: a shingle that appears in
+# more than `pct`% of one source's documents is boilerplate (nav bars,
+# cookie banners, footers repeat per site); each document reports how
+# much of it is boilerplate so a pipeline can drop or trim. Integer
+# cross-multiplication (df*100 >= n*pct) keeps the threshold exact in
+# both engines. Scale shape: two hash aggregations (per-(source,
+# shingle) df, per-source doc count) + one broadcast-able join of the
+# small per-source totals — no pair joins anywhere.
+
+def _boilerplate_body(shingle_cte: str, pct: int) -> str:
+    return f"""
+WITH sh AS ({shingle_cte}),
+docsrc AS (SELECT doc_id, source FROM documents),
+ssh AS (SELECT s.doc_id, d.source, s.sh
+        FROM sh s JOIN docsrc d ON s.doc_id = d.doc_id),
+df AS (SELECT source, sh, count(*) AS df FROM ssh GROUP BY source, sh),
+ndocs AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+boiler AS (SELECT d.source, d.sh
+           FROM df d JOIN ndocs nd ON d.source = nd.source
+           WHERE d.df * 100 >= nd.n * {pct}),
+marked AS (
+  SELECT s.doc_id,
+         CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS is_boiler
+  FROM ssh s LEFT JOIN boiler b
+    ON s.source = b.source AND s.sh = b.sh)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       cast(sum(is_boiler) AS bigint) AS n_boiler,
+       round(cast(sum(is_boiler) AS double) / count(*), 4) AS boiler_ratio
+FROM marked GROUP BY doc_id
+"""
+
+
+def boilerplate_spark(n: int = 2, pct: int = 10) -> str:
+    return _boilerplate_body(spark_shingle_sql(n), pct)
+
+
+def boilerplate_duck(n: int = 2, pct: int = 10) -> str:
+    return _boilerplate_body(duck_shingle_sql(n), pct)
+
+
+# ---------------------------------------------------------------------------
+# PII extraction / redaction stats
+# ---------------------------------------------------------------------------
+# Reference regexes verbatim (HZ.Crawler.Common/Extensions/
+# StringExtension.cs:26-42: IsEmail, IsPhoneNum) applied as extract-all
+# + redact. The corpus text is synthetic word-soup with no PII, so the
+# query deterministically injects addresses/numbers derived from doc_id
+# before matching — the oracle check exercises real matches instead of
+# passing vacuously on all-zero counts. Map-side only: no joins, no
+# shuffle; at 100 TB this is a pure scan→project pass.
+
+_EMAIL_SPARK = "\\\\w[-\\\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\\\.)+[A-Za-z]{2,14}"
+_EMAIL_DUCK = "\\w[-\\w.+]*@([A-Za-z0-9][-A-Za-z0-9]+\\.)+[A-Za-z]{2,14}"
+_PHONE_RE = "0?(13|14|15|17|18|19)[0-9]{9}"
+
+PII_SPARK = f"""
+WITH t AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' u', cast(doc_id AS string),
+                            '@mail.example.com') ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat(' 13',
+                            lpad(cast(doc_id % 100000000 AS string), 9, '0'))
+                ELSE '' END) AS text
+  FROM documents)
+SELECT doc_id,
+       size(regexp_extract_all(text, '{_EMAIL_SPARK}', 0)) AS n_emails,
+       size(regexp_extract_all(text, '{_PHONE_RE}', 0)) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_SPARK}', '<EMAIL>'),
+                          '{_PHONE_RE}', '<PHONE>')) AS redacted_md5
+FROM t
+"""
+
+PII_DUCK = f"""
+WITH t AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' u', cast(doc_id AS VARCHAR),
+                            '@mail.example.com') ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat(' 13',
+                            lpad(cast(doc_id % 100000000 AS VARCHAR), 9, '0'))
+                ELSE '' END) AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_DUCK}', 0)) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}', 0)) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_DUCK}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""

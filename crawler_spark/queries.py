@@ -20,7 +20,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import cluster, dedup, multimodal, similarity, textstats
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -544,6 +544,21 @@ _TRAIN: dict[str, Query] = {
     "text_fingerprint": Query(
         spark_sql=textstats.fingerprint_spark(),
         oracle=textstats.fingerprint_duck(),
+    ),
+    "dedup_components": Query(
+        # LSH pairs → connected components → canonical-per-cluster:
+        # the step that turns near-dup PAIRS into an actual dedup
+        # decision (iterative min-label propagation; DuckDB recursive-
+        # CTE transitive closure as the exact oracle).
+        fn=cluster.near_dup_components_df,
+        oracle=cluster.near_dup_components_duck(),
+    ),
+    "text_boilerplate": Query(
+        spark_sql=textstats.boilerplate_spark(),
+        oracle=textstats.boilerplate_duck(),
+    ),
+    "text_pii_stats": Query(
+        spark_sql=textstats.PII_SPARK, oracle=textstats.PII_DUCK
     ),
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK

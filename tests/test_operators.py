@@ -181,3 +181,27 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation on a known topology: a 5-node chain (needs
+    multiple propagation rounds — label must travel the diameter), one
+    triangle, and isolated singletons."""
+    from crawler_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 10-11-12-13-14; triangle 20-21-22 (one redundant edge)
+        [(11, 10), (11, 12), (12, 13), (13, 14),
+         (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [10, 11, 12, 13, 14, 20, 21, 22, 30, 31]],
+        "doc_id long",
+    )
+    got = {
+        r.doc_id: r.comp_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 31}
