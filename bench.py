@@ -45,10 +45,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
     "dedup_embedding_lsh",
+    "dedup_components",
     "text_token_count",
     "text_quality",
     "text_fingerprint",
     "text_simhash",
+    "text_boilerplate",
+    "text_pii_stats",
     "ann_brute_topk",
     "mm_decode_features",
 ]

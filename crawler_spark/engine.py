@@ -247,6 +247,13 @@ class CrawlEngine:
 
         frontier = store.read_frontier().persist(StorageLevel.MEMORY_AND_DISK)
         budget_ms = cfg.budget_ms * self._budget_mult
+        # localCheckpoint (NOT persist): every downstream action in the
+        # superstep references this frame, and with persist each one
+        # re-analyzes + re-optimizes the full politeness-window lineage
+        # — driver-side Catalyst time that a 2-superstep event-log audit
+        # showed to be ~43% of wall clock (91 jobs, each re-planning
+        # giant trees). Checkpointing truncates the logical plan to a
+        # leaf; storage cost is identical to the persist it replaces.
         batch = politeness_take(
             frontier,
             self.robots,
@@ -254,7 +261,7 @@ class CrawlEngine:
             cfg.max_k,
             cfg.n_salts,
             cfg.default_crawl_delay_ms,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         ph: dict[str, float] = {}
 
         def _tick(name: str, t=[time.monotonic()]) -> None:
@@ -317,9 +324,14 @@ class CrawlEngine:
 
         details = None
         if n_detail:
+            # lazy localCheckpoint: plan-truncation for the huge
+            # extraction expression tree (every entity write, successor
+            # union and error frame replans it under persist); data
+            # materializes at the first consuming job, same bytes as
+            # the persist it replaces.
             details = extract_details(
                 fetched.filter(F.col("kind") == "detail")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            ).localCheckpoint(eager=False)
             self._emit_detail_outputs(details, s, successors, error_frames)
         if n_cat or n_listing:
             cats = (
@@ -335,6 +347,9 @@ class CrawlEngine:
         # ---- frontier update: succ ∖ (seen ∪ frontier), first-wins ----
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
         new_rows = self._new_frontier_rows(successors, remaining, batch, s)
+        if new_rows is not None and os.environ.get("CRAWL_PHASE_LOG"):
+            new_rows.count()  # diagnostic: split compute from write
+            _tick("frontier_compute")
         # url_seen needs no separate write: it is the (url, superstep)
         # projection of crawl_log (statestore derives it on read)
         errors = error_frames[0]
@@ -425,10 +440,12 @@ class CrawlEngine:
         store.commit()
         store.gc_unreferenced()
 
-        for df in (batch, fetched, frontier):
+        # persisted frames are released here; localCheckpoint'd frames
+        # (batch/details/lst/new_cats/new_rows) free their blocks via
+        # the ContextCleaner as soon as this scope drops the last
+        # reference (CPython refcounting → prompt)
+        for df in (fetched, frontier):
             df.unpersist()
-        if details is not None:
-            details.unpersist()
         errors.unpersist()
         for df in self._superstep_persists:
             df.unpersist()
@@ -601,7 +618,7 @@ class CrawlEngine:
                         F.expr(upload_url_sql("_img_link")),
                     ).otherwise(F.lit("")),
                 )
-                .persist()
+                .localCheckpoint(eager=False)
             )
             n_new_cats = new_cats.count()
             store.write_delta(
@@ -621,7 +638,6 @@ class CrawlEngine:
                 s,
                 suffix="cat",
             )
-            new_cats.unpersist()
             error_frames.append(
                 cats.filter(~F.col("ok")).select(
                     "url",
@@ -659,11 +675,11 @@ class CrawlEngine:
 
         if n_listing:
             # three consumers (detail successors, page successors, error
-            # frame) — persist so the JSON extraction runs once
+            # frame) — localCheckpoint so the JSON extraction runs once
+            # AND its expression tree stops being re-planned per action
             lst = extract_listings(
                 fetched.filter(F.col("kind") == "listing")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            self._superstep_persists.append(lst)
+            ).localCheckpoint(eager=False)
             lok = (
                 lst.filter(F.col("ok"))
                 .withColumn("_cat", _qparam("category"))
@@ -741,9 +757,12 @@ class CrawlEngine:
                 self._seed_rows = [(int(r["id"]), i) for i, r in enumerate(ids)]
             else:
                 self._seed_rows = []
-        return self.spark.createDataFrame(
-            self._seed_rows, schema="_cat long, sidx int"
-        )
+            # checkpointed leaf: joined by several successor plans per
+            # superstep — don't rebuild/replan a parallelize per use
+            self._seed_df = self.spark.createDataFrame(
+                self._seed_rows, schema="_cat long, sidx int"
+            ).localCheckpoint(eager=False)
+        return self._seed_df
 
     # ------------------------------------------------------------------
     def _append_img_cache(self, links: DataFrame, s: int, suffix: str = ""):
@@ -831,7 +850,7 @@ class CrawlEngine:
             .unionByName(checked)
             .drop("_maybe")
             .withColumn("superstep_added", F.lit(s).cast("long"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         return new_rows
 
@@ -853,7 +872,15 @@ class CrawlEngine:
         )
         if partitioned:
             parts_dir = os.path.join(self.store.root, "_bloom_parts")
+            t0 = time.monotonic()
             self.bloom.save_parts(parts_dir)
+            if os.environ.get("CRAWL_PHASE_LOG"):
+                import sys as _sys
+
+                print(
+                    f"bloom.save_parts: {time.monotonic() - t0:.2f}s",
+                    file=_sys.stderr,
+                )
             return self.bloom.probe_partitioned(succ, parts_dir)
         probe = self.bloom.probe_udf(self.spark)
         return succ.withColumn("_maybe", probe(F.col("url")))

@@ -498,13 +498,19 @@ _CONTENT_TYPES = {
     "webp": "image/webp",
     "json": "application/json",
     "zip": "application/zip",
+    # FileHelper.cs:685 {".", "application/x-"}: an empty extension
+    # lowercases to "" and gets "." prepended, hitting this entry.
+    "": "application/x-",
 }
 
 
 def content_type_for(ext: Column) -> Column:
     """F18: extension → MIME, the reference's full dictionary
-    (FileHelper.cs:601-936, 327 entries + a few modern additions);
-    '.*' fallback application/octet-stream as in the reference."""
+    (FileHelper.cs:601-936, 328 entries + a few modern additions);
+    '.*' fallback application/octet-stream as in the reference.
+    The reference's ".IVF" entry is carried lowercase: GetContentType
+    (FileHelper.cs:339) lowercases before lookup, so the uppercase key
+    is unreachable there — lowercase makes it actually resolvable."""
     mapping = F.create_map(
         *[F.lit(x) for kv in _CONTENT_TYPES.items() for x in kv]
     )

@@ -532,6 +532,20 @@ _TRAIN: dict[str, Query] = {
             spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
         )
     ),
+    "ann_ivf_full_probe": Query(
+        # IVF with nprobe = n_centroids degenerates to exact search
+        # (every bucket probed, each vector assigned exactly once), so
+        # the bucketed plumbing is value-checkable against the brute-
+        # force oracle — exactness proof for the same code path
+        # ann_ivf_topk prunes.
+        fn=lambda spark, sf_dir: similarity.ann_ivf(
+            spark,
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            n_centroids=16,
+            nprobe=16,
+        ),
+        oracle=similarity.brute_topk_duck(),
+    ),
     "text_lang_id": Query(
         spark_sql=textstats.lang_id_spark(), oracle=textstats.lang_id_duck()
     ),

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 
@@ -73,6 +75,9 @@ def main() -> None:
     t0 = time.monotonic()
     summary = eng.run(max_supersteps=args.max_supersteps)
     wall = time.monotonic() - t0
+    if os.environ.get("CRAWL_PHASE_LOG"):
+        for st in summary["steps"]:
+            print(json.dumps(st), file=sys.stderr)
     print(
         json.dumps(
             {

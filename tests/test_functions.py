@@ -122,7 +122,7 @@ def test_content_type_map(spark):
     # entries from several media classes + the octet-stream fallback
     df = spark.createDataFrame(
         [("JPG",), ("png",), ("weird",), ("wav",), ("xhtml",), ("wmv",),
-         ("ppt",), ("tif",)],
+         ("ppt",), ("tif",), ("",), ("ivf",)],
         "e string",
     )
     got = [
@@ -138,6 +138,8 @@ def test_content_type_map(spark):
         "video/x-ms-wmv",
         "application/vnd.ms-powerpoint",
         "image/tiff",
+        "application/x-",  # FileHelper.cs:685 {"." : "application/x-"}
+        "video/x-ivf",  # FileHelper.cs:710 (.IVF, reachable lowercase)
     ]
     assert len(cf._CONTENT_TYPES) > 300
 
