@@ -329,9 +329,18 @@ class CrawlEngine:
             # union and error frame replans it under persist); data
             # materializes at the first consuming job, same bytes as
             # the persist it replaces.
-            details = extract_details(
-                fetched.filter(F.col("kind") == "detail")
-            ).localCheckpoint(eager=False)
+            details = (
+                extract_details(fetched.filter(F.col("kind") == "detail"))
+                # checkpoint-width cut: raw html is only re-read by the
+                # S6 error quarantine (~ok rows) — null it for parsed
+                # rows so the materialized leaf doesn't store every
+                # page's bytes a second time (fetched already caches
+                # them); uploaded_* intermediates are already rendered
+                # into main_imgs/detail_imgs/text.
+                .withColumn("html", F.when(~F.col("ok"), F.col("html")))
+                .drop("uploaded_main", "uploaded_detail")
+                .localCheckpoint(eager=False)
+            )
             self._emit_detail_outputs(details, s, successors, error_frames)
         if n_cat or n_listing:
             cats = (
@@ -677,9 +686,13 @@ class CrawlEngine:
             # three consumers (detail successors, page successors, error
             # frame) — localCheckpoint so the JSON extraction runs once
             # AND its expression tree stops being re-planned per action
-            lst = extract_listings(
-                fetched.filter(F.col("kind") == "listing")
-            ).localCheckpoint(eager=False)
+            lst = (
+                extract_listings(fetched.filter(F.col("kind") == "listing"))
+                # same width cut as details: html only survives for the
+                # ~ok error-quarantine rows
+                .withColumn("html", F.when(~F.col("ok"), F.col("html")))
+                .localCheckpoint(eager=False)
+            )
             lok = (
                 lst.filter(F.col("ok"))
                 .withColumn("_cat", _qparam("category"))
