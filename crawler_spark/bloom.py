@@ -195,7 +195,12 @@ class PartitionedBloom:
                 )
             return pd.Series(out)
 
-        return maybe_seen
+        # asNondeterministic: membership IS deterministic, but the flag
+        # stops Catalyst pushing the probe below the first-wins dedup
+        # agg (a deterministic function of the grouping key is legal to
+        # push, which would probe every pre-dedup successor row instead
+        # of each distinct url once)
+        return maybe_seen.asNondeterministic()
 
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).mean())

@@ -230,7 +230,8 @@ class PartitionedCuckoo:
                 out[i] = bool(fp in t[i1] or fp in t[i2])
             return pd.Series(out)
 
-        return maybe_seen
+        # see PartitionedBloom.probe_udf: blocks pushdown below dedup
+        return maybe_seen.asNondeterministic()
 
     def fill_ratio(self) -> float:
         return float((self.table != 0).mean())

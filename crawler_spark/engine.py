@@ -236,6 +236,13 @@ class CrawlEngine:
         return self.pages.join(b, "url", "inner")
 
     # ------------------------------------------------------------------
+    def _jd(self, name: str) -> None:
+        """Tag subsequent jobs with a phase name (thread-local). Shows
+        up in the Spark UI / event log so per-phase cost is attributable
+        in production, not just in this sandbox's phase log."""
+        self.spark.sparkContext.setJobDescription(name)
+
+    # ------------------------------------------------------------------
     def run_superstep(self) -> dict:
         """Execute one superstep; returns its counter summary."""
         cfg = self.cfg
@@ -254,6 +261,7 @@ class CrawlEngine:
         # showed to be ~43% of wall clock (91 jobs, each re-planning
         # giant trees). Checkpointing truncates the logical plan to a
         # leaf; storage cost is identical to the persist it replaces.
+        self._jd(f"s{s}:politeness_take")
         batch = politeness_take(
             frontier,
             self.robots,
@@ -271,6 +279,7 @@ class CrawlEngine:
 
         # one agg yields both the batch size and the per-kind split
         # (kind is a pure function of the url — no fetch needed)
+        self._jd(f"s{s}:kind_counts")
         kind_counts = {
             r["kind"]: r["count"]
             for r in batch.groupBy(_kind_col().alias("kind")).count().collect()
@@ -283,6 +292,7 @@ class CrawlEngine:
             return {"superstep": s, "fetched": 0, "done": True}
 
         # crawl order evidence (golden contract)
+        self._jd(f"s{s}:crawl_log_write")
         store.write_delta(
             "crawl_log",
             batch.select(
@@ -343,8 +353,13 @@ class CrawlEngine:
             )
             self._emit_detail_outputs(details, s, successors, error_frames)
         if n_cat or n_listing:
+            # checkpointed: four consumers (categories write, cat img
+            # links, page-1 successors, error frame) would each re-run
+            # the category extraction otherwise
             cats = (
-                extract_categories(fetched.filter(F.col("kind") == "category"))
+                extract_categories(
+                    fetched.filter(F.col("kind") == "category")
+                ).localCheckpoint(eager=False)
                 if n_cat
                 else None
             )
@@ -357,6 +372,7 @@ class CrawlEngine:
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
         new_rows = self._new_frontier_rows(successors, remaining, batch, s)
         if new_rows is not None and os.environ.get("CRAWL_PHASE_LOG"):
+            self._jd(f"s{s}:frontier_compute_diag")
             new_rows.count()  # diagnostic: split compute from write
             _tick("frontier_compute")
         # url_seen needs no separate write: it is the (url, superstep)
@@ -371,6 +387,7 @@ class CrawlEngine:
             frontier_next = frontier_next.unionByName(
                 new_rows.select(*_FRONTIER_COLS)
             )
+        self._jd(f"s{s}:frontier_write")
         store.write_frontier(frontier_next, s)
 
         _tick("frontier_write")
@@ -394,8 +411,13 @@ class CrawlEngine:
         tagged = tagged.unionByName(
             errors.select(_ckpt_pid().alias("pid"), F.lit("e").alias("t"))
         )
+        # same task-count discipline as the successor union: three
+        # cached frames contribute ~3× scan-split partitions of a few
+        # KB each to a count-only agg
+        tagged = tagged.coalesce(self.spark.sparkContext.defaultParallelism)
 
         def _bloom_update() -> None:
+            self._jd(f"s{s}:bloom_delta")
             head = delta_urls.limit(100_001).collect()
             if len(head) <= 100_000:
                 self.bloom.add_many([r[0] for r in head])
@@ -405,9 +427,11 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_counts = pool.submit(
-                lambda: tagged.groupBy("pid", "t").count().collect()
-            )
+            def _tagged_counts():
+                self._jd(f"s{s}:lineage_agg")
+                return tagged.groupBy("pid", "t").count().collect()
+
+            f_counts = pool.submit(_tagged_counts)
             f_bloom = pool.submit(_bloom_update)
             counts = f_counts.result()
             f_bloom.result()
@@ -418,6 +442,7 @@ class CrawlEngine:
 
         _tick("lineage_agg_bloom")
         if n_err:
+            self._jd(f"s{s}:errors_write")
             store.write_delta("errors", errors, s)
 
         _tick("errors_write")
@@ -427,9 +452,11 @@ class CrawlEngine:
 
         _tick("bloom_save")
         # ---- per-partition lineage counters (north rule) ----
+        self._jd(f"s{s}:checkpoint_write")
         self._write_checkpoint(s, frontier, fetched_c, new_c, n_err)
 
         _tick("checkpoint")
+        self._jd(f"s{s}:compact")
         if cfg.compact_every and s % cfg.compact_every == 0:
             for table in ("crawl_log", "img_cache", "brands", "categories"):
                 store.compact(table, s)
@@ -490,6 +517,7 @@ class CrawlEngine:
             )
             .join(existing_brands.select("id"), "id", "left_anti")
         )
+        self._jd(f"s{s}:brands_write")
         store.write_delta("brands", new_brands, s)
         brands_state = store.read("brands")
 
@@ -530,10 +558,12 @@ class CrawlEngine:
                 "url",
             )
         )
+        self._jd(f"s{s}:products_write")
         store.write_delta("products", prod, s)
 
         # img_cache: md5-keyed insert-if-absent (J4 / BaseSpider.cs:275-287)
         links = ok.select(F.explode("img_links").alias("link")).distinct()
+        self._jd(f"s{s}:img_cache_write")
         self._append_img_cache(links, s)
 
         # variant successors extend the parent's own path (§3.3)
@@ -629,7 +659,9 @@ class CrawlEngine:
                 )
                 .localCheckpoint(eager=False)
             )
+            self._jd(f"s{s}:categories_count")
             n_new_cats = new_cats.count()
+            self._jd(f"s{s}:categories_write")
             store.write_delta(
                 "categories",
                 new_cats.select(
@@ -811,6 +843,7 @@ class CrawlEngine:
         if not successors:
             return None
         cfg = self.cfg
+        self._jd(f"s{s}:succ_dedup")
         succ = successors[0].select(
             "url", "host", "path", "parent_url", "root_seed", "depth"
         )
@@ -820,6 +853,16 @@ class CrawlEngine:
                     "url", "host", "path", "parent_url", "root_seed", "depth"
                 )
             )
+        # Task-count discipline: the union inherits one partition per
+        # parent partition per frame (3 frames × every corpus-scan
+        # split), but each partition holds only KBs of successor URLs.
+        # A Python-UDF stage pays a fixed per-task worker round-trip
+        # (~0.3 s/node) that dwarfs the per-row work at that width —
+        # narrow-merge down to the session's parallelism before the
+        # canonicalize/probe chain. (At production scale
+        # defaultParallelism is the full cluster width, so this never
+        # caps real parallelism.)
+        succ = succ.coalesce(self.spark.sparkContext.defaultParallelism)
         if cfg.canonicalize_successors:
             succ = succ.withColumn("url", canonicalize_udf(F.col("url"))).filter(
                 F.col("url").isNotNull()
@@ -846,6 +889,13 @@ class CrawlEngine:
 
         # bloom prefilter: definite-new rows skip the exact anti-join
         succ = self._probe_maybe_seen(succ)
+        # Evaluate the union→canonicalize→dedup→probe chain exactly
+        # once: without this cut, the complementary `_maybe` filters
+        # below make Catalyst clone the whole subtree per branch — the
+        # event-log showed every successor row canonicalized AND
+        # bloom-probed twice (the probe additionally pushed below the
+        # first-wins agg, so it ran per pre-dedup row).
+        succ = succ.localCheckpoint(eager=False)
         # seen = url_seen table ∪ this superstep's batch (its delta is not
         # written yet — self-referencing variant successors must not
         # re-enter) ∪ the remaining frontier

@@ -28,8 +28,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# this host exposes 32 hardware threads over 16 physical cores (SMT);
-# the honest N vs 4N resource comparison stays within physical cores
+# Each level is CPU-pinned with taskset to exactly its core budget:
+# an unpinned local[4] JVM still runs GC / parquet-IO / Py4J / Python
+# worker threads on the machine's other 28 cores (and turbo-boosts a
+# mostly-idle package), overstating the small level's throughput and
+# understating scaling efficiency. Pinning reproduces the cluster
+# contract — an executor with N cores gets N cores, nothing more —
+# for both levels symmetrically.
 N_SMALL = int(os.environ.get("SCALE_N", "4"))
 N_BIG = 4 * N_SMALL
 N_PRODUCTS = int(os.environ.get("BENCH_PRODUCTS", "1000000"))
@@ -59,6 +64,9 @@ def build_zip() -> str:
 
 def submit(cores: int, pyzip: str, script: str, extra: list[str]) -> dict:
     cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
         "spark-submit",
         "--master",
         f"local[{cores}]",
