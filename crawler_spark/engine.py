@@ -84,6 +84,10 @@ class EngineConfig:
     # small per-superstep deltas are coalesced before write (file-count
     # and task-overhead control; Iceberg compaction analog)
     delta_write_partitions: int = 8
+    # max candidate rows for the broadcast (no-shuffle-of-state) form of
+    # the url-seen and img-cache anti-joins; above it the classic
+    # shuffle join is the right plan (~30 MB of urls at the default)
+    seen_anti_broadcast_limit: int = 500_000
     # loop-read state tables are compacted every K supersteps (url_seen
     # derives from crawl_log, which every superstep's anti-join scans —
     # file-count growth there is direct barrier cost)
@@ -351,7 +355,9 @@ class CrawlEngine:
                 .drop("uploaded_main", "uploaded_detail")
                 .localCheckpoint(eager=False)
             )
-            self._emit_detail_outputs(details, s, successors, error_frames)
+            self._emit_detail_outputs(
+                details, s, successors, error_frames, n_detail
+            )
         if n_cat or n_listing:
             # checkpointed: four consumers (categories write, cat img
             # links, page-1 successors, error frame) would each re-run
@@ -497,7 +503,9 @@ class CrawlEngine:
         }
 
     # ------------------------------------------------------------------
-    def _emit_detail_outputs(self, details, s, successors, error_frames):
+    def _emit_detail_outputs(
+        self, details, s, successors, error_frames, n_detail=None
+    ):
         """Entity deltas (brands J2, products, img_cache J4) + variant
         successors (J6/§3.3) from parsed detail pages."""
         store = self.store
@@ -564,7 +572,12 @@ class CrawlEngine:
         # img_cache: md5-keyed insert-if-absent (J4 / BaseSpider.cs:275-287)
         links = ok.select(F.explode("img_links").alias("link")).distinct()
         self._jd(f"s{s}:img_cache_write")
-        self._append_img_cache(links, s)
+        # ~16 img links per detail page is the corpus-shape upper bound
+        self._append_img_cache(
+            links,
+            s,
+            approx_rows=None if n_detail is None else 16 * n_detail,
+        )
 
         # variant successors extend the parent's own path (§3.3)
         succ = (
@@ -678,6 +691,7 @@ class CrawlEngine:
                 ).select(F.col("_img_link").alias("link")),
                 s,
                 suffix="cat",
+                approx_rows=n_new_cats,
             )
             error_frames.append(
                 cats.filter(~F.col("ok")).select(
@@ -810,7 +824,13 @@ class CrawlEngine:
         return self._seed_df
 
     # ------------------------------------------------------------------
-    def _append_img_cache(self, links: DataFrame, s: int, suffix: str = ""):
+    def _append_img_cache(
+        self,
+        links: DataFrame,
+        s: int,
+        suffix: str = "",
+        approx_rows: int | None = None,
+    ):
         """Insert-if-absent into the md5-keyed image cache (J4).
 
         ``suffix`` keeps the detail-page and category-page writes of one
@@ -826,14 +846,33 @@ class CrawlEngine:
             + ", ';base64,', base64(unhex(md5(cast(link as binary))))) "
             "as binary))"
         )
-        rows = (
+        base = (
             links.filter(F.col("link").isNotNull() & (F.col("link") != ""))
             .withColumn("md5_key", F.expr(data_uri_md5))
             .withColumn("uploaded_url", F.expr(upload_url_sql("link")))
             .dropDuplicates(["md5_key"])
-            .join(store.read("img_cache").select("md5_key"), "md5_key", "left_anti")
-            .select("md5_key", "uploaded_url")
         )
+        cache_keys = store.read("img_cache").select("md5_key")
+        # Same state-join inversion as the url-seen check: the cache
+        # grows with the whole crawl; when this superstep's distinct
+        # links are broadcastable (gated on the caller's free row-count
+        # hint — counting here would cost an extra materialization),
+        # stream-scan the cache for hits instead of shuffling it
+        # (see _new_frontier_rows).
+        if (
+            approx_rows is not None
+            and approx_rows <= self.cfg.seen_anti_broadcast_limit
+        ):
+            # checkpoint: `fresh` feeds both the broadcast and the anti
+            # side — without the cut the distinct subtree runs twice
+            fresh = base.localCheckpoint(eager=False)
+            hits = cache_keys.join(
+                F.broadcast(fresh.select("md5_key")), "md5_key", "left_semi"
+            )
+            rows = fresh.join(F.broadcast(hits), "md5_key", "left_anti")
+        else:
+            rows = base.join(cache_keys, "md5_key", "left_anti")
+        rows = rows.select("md5_key", "uploaded_url")
         store.write_delta("img_cache", rows, s, suffix=suffix)
 
     # ------------------------------------------------------------------
@@ -905,9 +944,25 @@ class CrawlEngine:
             .unionByName(batch.select("url"))
             .unionByName(remaining.select("url"))
         )
-        checked = (
-            succ.filter(F.col("_maybe")).join(seen_urls, "url", "left_anti")
-        )
+        maybe = succ.filter(F.col("_maybe"))
+        # The seen side grows with the whole crawl (O(pages fetched))
+        # while `maybe` is only bloom false-positives + true dups. A
+        # plain anti-join sort-merge-shuffles the ENTIRE seen relation
+        # every superstep — the measured per-superstep floor once
+        # crawl_log passes ~10^6 rows. When `maybe` is broadcastable,
+        # flip the plan: stream-scan seen against broadcast(maybe) for
+        # the hit set (no shuffle of seen), then broadcast-anti the
+        # (≤ maybe-sized) hit set back. Falls back to the shuffle join
+        # when maybe is large (steady-state web crawls where most links
+        # are dups — there the shuffle is the right plan).
+        n_maybe = maybe.count()  # succ is checkpointed: a cheap cached agg
+        if n_maybe <= cfg.seen_anti_broadcast_limit:
+            hits = seen_urls.join(
+                F.broadcast(maybe.select("url")), "url", "left_semi"
+            )
+            checked = maybe.join(F.broadcast(hits), "url", "left_anti")
+        else:
+            checked = maybe.join(seen_urls, "url", "left_anti")
         new_rows = (
             succ.filter(~F.col("_maybe"))
             .unionByName(checked)

@@ -116,7 +116,7 @@ def _duck_minhash_aggs() -> str:
     )
 
 
-def _band_rows(concat_fn) -> str:
+def _band_rows(concat_fn, table: str = "mh") -> str:
     """band_id → band_key rows via a stacked UNION (portable, no UDTF)."""
     parts = []
     for b in range(N_BANDS):
@@ -124,7 +124,7 @@ def _band_rows(concat_fn) -> str:
             [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         )
         parts.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM mh"
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM {table}"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -169,6 +169,89 @@ def minhash_lsh_spark(n: int = 2, threshold: float = 0.5) -> str:
     return _minhash_lsh_body(spark_shingle_sql(n), _minhash_aggs(), bands, threshold)
 
 
+def minhash_lsh_views_spark(
+    n: int = 2, threshold: float = 0.5
+) -> tuple[list[tuple[str, str]], str]:
+    """(views, final_sql) for the cached-view execution path.
+
+    Spark INLINES every CTE reference — the pure-SQL form
+    (minhash_lsh_spark, kept as the semantic spec) re-runs the shingle
+    explode ~10× (freq, shf×2, mh via 4 band rows × 2 sides of the
+    cand self-join, sizes). Evaluating the shingle and signature
+    relations once behind checkpointed temp views makes the plan
+    O(one pass) without touching semantics — the DuckDB oracle (which
+    materializes CTEs natively) is unchanged."""
+    views = [
+        ("mh_sh_v", spark_shingle_sql(n)),
+        (
+            "mh_mh_v",
+            f"SELECT doc_id, {_minhash_aggs()} FROM mh_sh_v GROUP BY doc_id",
+        ),
+        (
+            "mh_shf_v",
+            f"""SELECT s.doc_id, s.sh FROM mh_sh_v s
+                JOIN (SELECT sh FROM mh_sh_v GROUP BY sh
+                      HAVING count(*) <= {DF_CAP}) f ON s.sh = f.sh""",
+        ),
+    ]
+    bands = _band_rows(
+        lambda cs: "concat(" + ", ".join(cs) + ")", table="mh_mh_v"
+    )
+    final = f"""
+WITH bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh_v GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN mh_shf_v a ON a.doc_id = c.doc_a
+  JOIN mh_shf_v b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(i.n_common AS double) / (sa.n + sb.n - i.n_common) >= {threshold}
+"""
+    return views, final
+
+
+def ngram_jaccard_views_spark(
+    n: int = 2, threshold: float = 0.5
+) -> tuple[list[tuple[str, str]], str]:
+    """Cached-view twin of ngram_jaccard_spark (see
+    minhash_lsh_views_spark for why)."""
+    views = [
+        ("nj_sh_v", spark_shingle_sql(n)),
+        (
+            "nj_shf_v",
+            f"""SELECT s.doc_id, s.sh FROM nj_sh_v s
+                JOIN (SELECT sh FROM nj_sh_v GROUP BY sh
+                      HAVING count(*) <= {DF_CAP}) f ON s.sh = f.sh""",
+        ),
+    ]
+    final = f"""
+WITH sizes AS (SELECT doc_id, count(*) AS n FROM nj_sh_v GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM nj_shf_v a JOIN nj_shf_v b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(i.n_common AS double) / (sa.n + sb.n - i.n_common) >= {threshold}
+"""
+    return views, final
+
+
 def minhash_lsh_duck(n: int = 2, threshold: float = 0.5) -> str:
     bands = _band_rows(lambda cs: " || ".join(cs))
     return _minhash_lsh_body(
@@ -180,9 +263,12 @@ def minhash_lsh_duck(n: int = 2, threshold: float = 0.5) -> str:
 # simhash: 64-bit fingerprint from token-frequency-weighted md5 nibble bits
 # ---------------------------------------------------------------------------
 
+# bits read from a single per-token `h = md5(word)` column: hashing
+# once in the tok relation instead of inside all 64 bit expressions
+# (64 md5 calls per token otherwise — the agg dominates the query)
 def _simhash_bit_spark(j: int) -> str:
     pos, shift = j // 4 + 1, 3 - j % 4
-    nib = f"cast(conv(substring(md5(word), {pos}, 1), 16, 10) as int)"
+    nib = f"cast(conv(substring(h, {pos}, 1), 16, 10) as int)"
     return (
         f"CASE WHEN pmod(cast({nib} div {1 << shift} as int), 2) = 1 "
         "THEN 1 ELSE -1 END"
@@ -191,7 +277,7 @@ def _simhash_bit_spark(j: int) -> str:
 
 def _simhash_bit_duck(j: int) -> str:
     pos, shift = j // 4 + 1, 3 - j % 4
-    nib = f"('0x' || substring(md5(word), {pos}, 1))::INTEGER"
+    nib = f"('0x' || substring(h, {pos}, 1))::INTEGER"
     return f"CASE WHEN (({nib} // {1 << shift}) % 2) = 1 THEN 1 ELSE -1 END"
 
 
@@ -209,8 +295,10 @@ def simhash_fingerprints_spark() -> str:
     sums, fp = _simhash_select(_simhash_bit_spark)
     return f"""
 WITH tok AS (
-  SELECT doc_id, explode(filter(split(text, '\\\\s+'), x -> x != '')) AS word
-  FROM documents),
+  SELECT doc_id, md5(word) AS h FROM (
+    SELECT doc_id,
+           explode(filter(split(text, '\\\\s+'), x -> x != '')) AS word
+    FROM documents)),
 bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
 SELECT doc_id, {fp} AS simhash FROM bits
 """
@@ -220,10 +308,11 @@ def simhash_fingerprints_duck() -> str:
     sums, fp = _simhash_select(_simhash_bit_duck)
     return f"""
 WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-                x -> x <> '')) AS word
-  FROM documents),
+  SELECT doc_id, md5(word) AS h FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS word
+    FROM documents)),
 bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
 SELECT doc_id, {fp} AS simhash FROM bits
 """
@@ -498,6 +587,70 @@ def embedding_lsh_spark(threshold: float = 0.35) -> str:
     return _embedding_lsh_body(
         _hyperplane_sign_spark, _SPARK_DOT, _SPARK_NORM, cast_cte, threshold
     )
+
+
+def _hyperplane_components(t: int) -> list[float]:
+    """±1.0 components of hyperplane t — the SAME md5-parity values the
+    SQL form computes per row (hashlib.md5 == SQL md5 on ASCII), folded
+    to constants at query-build time: the in-SQL form re-hashes
+    32 planes × 64 components per vector per band reference."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[0], 16) % 2 == 1
+        else -1.0
+        for i in range(EMB_DIM)
+    ]
+
+
+def embedding_lsh_views_spark(
+    threshold: float = 0.35,
+) -> tuple[list[tuple[str, str]], str]:
+    """Cached-view + constant-folded-hyperplane twin of
+    embedding_lsh_spark (the semantic spec / oracle form)."""
+    band_rows = []
+    for b in range(EMB_LSH_BANDS):
+        bits = []
+        for r in range(EMB_LSH_BITS):
+            comps = _hyperplane_components(b * EMB_LSH_BITS + r)
+            arr = "array(" + ", ".join(
+                f"cast({c} as double)" for c in comps
+            ) + ")"
+            dot = (
+                f"aggregate(zip_with(v, {arr}, (x, s) -> x * s), "
+                "cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, concat({', '.join(bits)}) AS bkey "
+            "FROM emb_e_v"
+        )
+    views = [
+        (
+            "emb_e_v",
+            "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v "
+            "FROM embeddings",
+        ),
+        ("emb_bands_v", "\nUNION ALL\n".join(band_rows)),
+    ]
+    final = f"""
+WITH cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM emb_bands_v a JOIN emb_bands_v b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+p AS (
+  SELECT c.vec_a, c.vec_b,
+         {_SPARK_DOT} /
+         ({_SPARK_NORM.format(v='a.v')} * {_SPARK_NORM.format(v='b.v')})
+           AS cos
+  FROM cand c
+  JOIN emb_e_v a ON a.vec_id = c.vec_a
+  JOIN emb_e_v b ON b.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM p WHERE cos >= {threshold}
+"""
+    return views, final
 
 
 def embedding_lsh_duck(threshold: float = 0.35) -> str:

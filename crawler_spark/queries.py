@@ -493,15 +493,36 @@ FROM se GROUP BY user_id, session_id
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
 
+def _views_fn(views: list[tuple[str, str]], final: str):
+    """Evaluate each (name, sql) step once behind a checkpointed temp
+    view, then run the final SQL over them. Spark inlines CTEs at every
+    reference (DuckDB materializes them), so the pure-SQL forms of the
+    heavy dedup queries re-run their shingle/signature relations up to
+    ~10×; this keeps the published SQL as the spec while executing each
+    relation once."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        for name, sql in views:
+            spark.sql(sql).localCheckpoint(
+                eager=False
+            ).createOrReplaceTempView(name)
+        return spark.sql(final)
+
+    return fn
+
+
 _TRAIN: dict[str, Query] = {
     "dedup_exact": Query(
         spark_sql=dedup.DEDUP_EXACT_SPARK, oracle=dedup.DEDUP_EXACT_DUCK
     ),
     "dedup_ngram_jaccard": Query(
-        spark_sql=dedup.ngram_jaccard_spark(), oracle=dedup.ngram_jaccard_duck()
+        fn=_views_fn(*dedup.ngram_jaccard_views_spark()),
+        oracle=dedup.ngram_jaccard_duck(),
     ),
     "dedup_minhash_lsh": Query(
-        spark_sql=dedup.minhash_lsh_spark(), oracle=dedup.minhash_lsh_duck()
+        fn=_views_fn(*dedup.minhash_lsh_views_spark()),
+        oracle=dedup.minhash_lsh_duck(),
     ),
     "text_simhash": Query(
         spark_sql=dedup.simhash_fingerprints_spark(),
@@ -519,7 +540,7 @@ _TRAIN: dict[str, Query] = {
         oracle=dedup.embedding_pairs_duck(),
     ),
     "dedup_embedding_lsh": Query(
-        spark_sql=dedup.embedding_lsh_spark(),
+        fn=_views_fn(*dedup.embedding_lsh_views_spark()),
         oracle=dedup.embedding_lsh_duck(),
     ),
     "ann_brute_topk": Query(
