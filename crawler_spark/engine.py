@@ -23,7 +23,9 @@ encodes the same contract; golden tests assert sequence equality.
 from __future__ import annotations
 
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -295,28 +297,12 @@ class CrawlEngine:
             frontier.unpersist()
             return {"superstep": s, "fetched": 0, "done": True}
 
-        # crawl order evidence (golden contract)
-        self._jd(f"s{s}:crawl_log_write")
-        store.write_delta(
-            "crawl_log",
-            batch.select(
-                "url",
-                "host",
-                F.lit(s).cast("long").alias("superstep"),
-                F.col("host_rank").cast("long").alias("host_rank"),
-                F.lit(0).cast("long").alias("seq"),
-            ),
-            s,
-        )
-        _tick("crawl_log")
-
         fetched = (
             self._fetch(batch, n_batch)
             .withColumn("kind", _kind_col())
             .withColumn("site", _site_col())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _tick("fetch_join")
         n_cat = kind_counts.get("category", 0)
         n_listing = kind_counts.get("listing", 0)
         n_detail = kind_counts.get("detail", 0)
@@ -335,6 +321,50 @@ class CrawlEngine:
                 F.lit(None).cast("binary").alias("raw"),
             )
         )
+
+        # ---- concurrent superstep chains -------------------------------
+        # The writes of one superstep land in INDEPENDENT tables and the
+        # successor/frontier chain reads only the checkpointed parse
+        # frames, so the serial action sequence (crawl_log → brands →
+        # products → img_cache → categories → frontier …) was pure
+        # barrier cost: ~10 small driver-scheduled jobs back to back.
+        # Run the chains on driver threads (job groups are thread-local
+        # under pinned-thread mode); two events guard the real data
+        # dependencies —
+        #   ev_details: the detail parse frame is materialized (variant
+        #     successors read it; without the gate two jobs would race
+        #     to first-compute the same lazy checkpoint),
+        #   ev_cats: the categories delta is committed to the store and
+        #     the seed index re-collected (listing successors rank by
+        #     post-insert category seq — O1 stale-first order).
+        # On a real cluster this is plain concurrent job submission —
+        # the scheduler interleaves stages across executors.
+        ev_details = threading.Event()
+        ev_cats = threading.Event()
+        if n_detail and (n_cat or n_listing):
+            # two chains would otherwise race to first-materialize the
+            # shared fetched cache (duplicate corpus-scan work)
+            self._jd(f"s{s}:fetch_materialize")
+            fetched.count()
+        _tick("fetch_join")
+
+        tasks: list[tuple[str, object]] = []
+
+        def t_crawl_log() -> None:
+            # crawl order evidence (golden contract)
+            store.write_delta(
+                "crawl_log",
+                batch.select(
+                    "url",
+                    "host",
+                    F.lit(s).cast("long").alias("superstep"),
+                    F.col("host_rank").cast("long").alias("host_rank"),
+                    F.lit(0).cast("long").alias("seq"),
+                ),
+                s,
+            )
+
+        tasks.append(("crawl_log", t_crawl_log))
 
         details = None
         if n_detail:
@@ -355,32 +385,107 @@ class CrawlEngine:
                 .drop("uploaded_main", "uploaded_detail")
                 .localCheckpoint(eager=False)
             )
-            self._emit_detail_outputs(
-                details, s, successors, error_frames, n_detail
-            )
+            self._detail_successors(details, s, successors, error_frames)
+
+            def t_detail() -> None:
+                try:
+                    self._jd(f"s{s}:detail_materialize")
+                    details.count()
+                finally:
+                    ev_details.set()
+                self._write_detail_entities(details, s, n_detail)
+
+            tasks.append(("detail_entities", t_detail))
+        else:
+            ev_details.set()
+
+        cats = None
+        lst = None
         if n_cat or n_listing:
             # checkpointed: four consumers (categories write, cat img
             # links, page-1 successors, error frame) would each re-run
             # the category extraction otherwise
-            cats = (
-                extract_categories(
+            if n_cat:
+                cats = extract_categories(
                     fetched.filter(F.col("kind") == "category")
                 ).localCheckpoint(eager=False)
-                if n_cat
-                else None
-            )
-            self._emit_listing_outputs(
-                cats, n_cat, n_listing, fetched, s, successors, error_frames
-            )
+                error_frames.append(
+                    cats.filter(~F.col("ok")).select(
+                        "url",
+                        F.lit(s).cast("long").alias("superstep"),
+                        F.col("err").alias("error"),
+                        F.col("html").alias("raw"),
+                    )
+                )
+            if n_listing:
+                # three consumers (detail successors, page successors,
+                # error frame) — localCheckpoint so the JSON extraction
+                # runs once AND its expression tree stops being
+                # re-planned per action
+                lst = (
+                    extract_listings(fetched.filter(F.col("kind") == "listing"))
+                    # same width cut as details: html only survives for
+                    # the ~ok error-quarantine rows
+                    .withColumn("html", F.when(~F.col("ok"), F.col("html")))
+                    .localCheckpoint(eager=False)
+                )
+                error_frames.append(
+                    lst.filter(~F.col("ok")).select(
+                        "url",
+                        F.lit(s).cast("long").alias("superstep"),
+                        F.col("err").alias("error"),
+                        F.col("html").alias("raw"),
+                    )
+                )
 
-        _tick("extract_entities")
+            def t_listing() -> None:
+                try:
+                    self._jd(f"s{s}:listing_entities")
+                    if n_cat:
+                        self._write_listing_entities(
+                            cats, s, on_categories_written=ev_cats.set
+                        )
+                finally:
+                    ev_cats.set()  # safety net (double-set is a no-op)
+
+            tasks.append(("listing_entities", t_listing))
+        else:
+            ev_cats.set()
+
         # ---- frontier update: succ ∖ (seen ∪ frontier), first-wins ----
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
-        new_rows = self._new_frontier_rows(successors, remaining, batch, s)
-        if new_rows is not None and os.environ.get("CRAWL_PHASE_LOG"):
-            self._jd(f"s{s}:frontier_compute_diag")
-            new_rows.count()  # diagnostic: split compute from write
-            _tick("frontier_compute")
+        frontier_box: dict[str, DataFrame | None] = {"new_rows": None}
+
+        def t_frontier() -> None:
+            ev_details.wait()
+            ev_cats.wait()
+            self._jd(f"s{s}:frontier")
+            if n_cat or n_listing:
+                self._listing_successors(
+                    cats, lst, n_cat, n_listing, s, successors
+                )
+            new_rows = self._new_frontier_rows(successors, remaining, batch, s)
+            frontier_next = remaining.select(*_FRONTIER_COLS)
+            if new_rows is not None:
+                frontier_next = frontier_next.unionByName(
+                    new_rows.select(*_FRONTIER_COLS)
+                )
+            self._jd(f"s{s}:frontier_write")
+            store.write_frontier(frontier_next, s)
+            frontier_box["new_rows"] = new_rows
+
+        tasks.append(("frontier", t_frontier))
+
+        def _timed(name: str, fn) -> None:
+            w0 = time.monotonic()
+            fn()
+            ph[name] = round(time.monotonic() - w0, 3)
+
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            futs = [pool.submit(_timed, name, fn) for name, fn in tasks]
+            for fut in futs:
+                fut.result()
+        new_rows = frontier_box["new_rows"]
         # url_seen needs no separate write: it is the (url, superstep)
         # projection of crawl_log (statestore derives it on read)
         errors = error_frames[0]
@@ -388,15 +493,7 @@ class CrawlEngine:
             errors = errors.unionByName(e)
         errors = errors.persist(StorageLevel.MEMORY_AND_DISK)
 
-        frontier_next = remaining.select(*_FRONTIER_COLS)
-        if new_rows is not None:
-            frontier_next = frontier_next.unionByName(
-                new_rows.select(*_FRONTIER_COLS)
-            )
-        self._jd(f"s{s}:frontier_write")
-        store.write_frontier(frontier_next, s)
-
-        _tick("frontier_write")
+        _tick("chains")
         # ---- two independent read-only jobs over the now-cached frames
         # run CONCURRENTLY (batch/new_rows were materialized by the
         # frontier write; errors is touched only by the agg thread):
@@ -430,8 +527,6 @@ class CrawlEngine:
             else:
                 self.bloom.merge_deltas(self.bloom.build_deltas(delta_urls))
 
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=2) as pool:
             def _tagged_counts():
                 self._jd(f"s{s}:lineage_agg")
@@ -447,25 +542,44 @@ class CrawlEngine:
         n_err = sum(r["count"] for r in counts if r["t"] == "e")
 
         _tick("lineage_agg_bloom")
-        if n_err:
-            self._jd(f"s{s}:errors_write")
-            store.write_delta("errors", errors, s)
-
-        _tick("errors_write")
         bpath = store.bloom_path(s)
         self.bloom.save(bpath)
         store.set_bloom(bpath)
 
         _tick("bloom_save")
-        # ---- per-partition lineage counters (north rule) ----
-        self._jd(f"s{s}:checkpoint_write")
-        self._write_checkpoint(s, frontier, fetched_c, new_c, n_err)
+        # errors delta, lineage checkpoint, and the periodic compactions
+        # write independent tables — same concurrent-chain treatment
+        compact_tables = (
+            ("crawl_log", "img_cache", "brands", "categories")
+            if cfg.compact_every and s % cfg.compact_every == 0
+            else ()
+        )
+        tail: list = []
+        if n_err:
 
-        _tick("checkpoint")
-        self._jd(f"s{s}:compact")
-        if cfg.compact_every and s % cfg.compact_every == 0:
-            for table in ("crawl_log", "img_cache", "brands", "categories"):
+            def t_errors() -> None:
+                self._jd(f"s{s}:errors_write")
+                store.write_delta("errors", errors, s)
+
+            tail.append(t_errors)
+
+        def t_checkpoint() -> None:
+            # ---- per-partition lineage counters (north rule) ----
+            self._jd(f"s{s}:checkpoint_write")
+            self._write_checkpoint(s, frontier, fetched_c, new_c, n_err)
+
+        tail.append(t_checkpoint)
+        for table in compact_tables:
+
+            def t_compact(table=table) -> None:
+                self._jd(f"s{s}:compact_{table}")
                 store.compact(table, s)
+
+            tail.append(t_compact)
+        with ThreadPoolExecutor(max_workers=len(tail)) as pool:
+            for fut in [pool.submit(fn) for fn in tail]:
+                fut.result()
+        _tick("checkpoint_errors_compact")
 
         if cfg.adaptive_budget:
             if n_batch < cfg.adaptive_min_batch:
@@ -503,11 +617,11 @@ class CrawlEngine:
         }
 
     # ------------------------------------------------------------------
-    def _emit_detail_outputs(
-        self, details, s, successors, error_frames, n_detail=None
-    ):
-        """Entity deltas (brands J2, products, img_cache J4) + variant
-        successors (J6/§3.3) from parsed detail pages."""
+    def _write_detail_entities(self, details, s, n_detail=None):
+        """Entity deltas (brands J2, products, img_cache J4) from parsed
+        detail pages. Runs on its own driver thread — writes only to
+        tables no other superstep chain touches (brands, products, and
+        the suffix-separated img_cache delta)."""
         store = self.store
         ok = details.filter(F.col("ok"))
 
@@ -579,6 +693,12 @@ class CrawlEngine:
             approx_rows=None if n_detail is None else 16 * n_detail,
         )
 
+    # ------------------------------------------------------------------
+    def _detail_successors(self, details, s, successors, error_frames):
+        """Variant successors (J6/§3.3) + parse-error frame from detail
+        pages — lazy frame construction only (no Spark actions); the
+        frontier chain materializes them after ``details`` is cached."""
+        ok = details.filter(F.col("ok"))
         # variant successors extend the parent's own path (§3.3)
         succ = (
             ok.select(
@@ -615,93 +735,92 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _emit_listing_outputs(
-        self, cats, n_cat, n_listing, fetched, s, successors, error_frames
-    ):
-        """Categories entity (insert-if-absent J7, global seq for the
-        stale-first seed order O1/P1) + listing/pagination successors S3."""
+    def _write_listing_entities(self, cats, s, on_categories_written=None):
+        """Categories entity delta (insert-if-absent J7, global seq for
+        the stale-first seed order O1/P1) + the category-image cache
+        delta. Runs on its own driver thread; the frontier chain waits
+        only on ``on_categories_written`` (fired after the categories
+        delta + seed-index invalidation land — listing successors rank
+        by post-insert seq; the img-cache write keeps going after)."""
         store = self.store
-        spark = self.spark
 
-        if n_cat:
-            exploded = cats.filter(F.col("ok")).select(
-                "url",
-                "site",
+        exploded = cats.filter(F.col("ok")).select(
+            "url",
+            "site",
+            "host",
+            "host_rank",
+            "root_seed",
+            "depth",
+            F.posexplode("cat_rows").alias("pos", "c"),
+        )
+        existing = (
+            store.read("categories")
+            if store.has_rows("categories")
+            else None
+        )
+        w = Window.partitionBy("id").orderBy("host", "host_rank", "pos")
+        wseq = Window.orderBy("host", "host_rank", "pos")
+        max_seq = store.manifest["counters"].get("max_cat_seq", 0)
+        new_cats = (
+            exploded.select(
+                F.col("c.id").alias("id"),
+                F.col("c.category_name").alias("category_name"),
+                F.col("c.category_img_link").alias("_img_link"),
+                F.col("c.parent_id").alias("parent_id"),
                 "host",
                 "host_rank",
-                "root_seed",
-                "depth",
-                F.posexplode("cat_rows").alias("pos", "c"),
+                "pos",
             )
-            existing = (
-                store.read("categories")
-                if store.has_rows("categories")
-                else None
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        if existing is not None:
+            new_cats = new_cats.join(
+                existing.select("id"), "id", "left_anti"
             )
-            w = Window.partitionBy("id").orderBy("host", "host_rank", "pos")
-            wseq = Window.orderBy("host", "host_rank", "pos")
-            max_seq = store.manifest["counters"].get("max_cat_seq", 0)
-            new_cats = (
-                exploded.select(
-                    F.col("c.id").alias("id"),
-                    F.col("c.category_name").alias("category_name"),
-                    F.col("c.category_img_link").alias("_img_link"),
-                    F.col("c.parent_id").alias("parent_id"),
-                    "host",
-                    "host_rank",
-                    "pos",
-                )
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-            )
-            if existing is not None:
-                new_cats = new_cats.join(
-                    existing.select("id"), "id", "left_anti"
-                )
-            from .extract import upload_url_sql
+        from .extract import upload_url_sql
 
-            new_cats = (
-                new_cats.withColumn("seq", F.row_number().over(wseq) + max_seq)
-                .withColumn(
-                    "category_img",
-                    F.when(
-                        F.col("_img_link").isNotNull()
-                        & (F.col("_img_link") != ""),
-                        F.expr(upload_url_sql("_img_link")),
-                    ).otherwise(F.lit("")),
-                )
-                .localCheckpoint(eager=False)
+        new_cats = (
+            new_cats.withColumn("seq", F.row_number().over(wseq) + max_seq)
+            .withColumn(
+                "category_img",
+                F.when(
+                    F.col("_img_link").isNotNull()
+                    & (F.col("_img_link") != ""),
+                    F.expr(upload_url_sql("_img_link")),
+                ).otherwise(F.lit("")),
             )
-            self._jd(f"s{s}:categories_count")
-            n_new_cats = new_cats.count()
-            self._jd(f"s{s}:categories_write")
-            store.write_delta(
-                "categories",
-                new_cats.select(
-                    "id", "category_name", "category_img", "parent_id", "seq"
-                ),
-                s,
-            )
-            store.manifest["counters"]["max_cat_seq"] = max_seq + n_new_cats
-            if n_new_cats:
-                self._seed_rows = None  # invalidate the cached seed index
-            self._append_img_cache(
-                new_cats.filter(
-                    F.col("_img_link").isNotNull() & (F.col("_img_link") != "")
-                ).select(F.col("_img_link").alias("link")),
-                s,
-                suffix="cat",
-                approx_rows=n_new_cats,
-            )
-            error_frames.append(
-                cats.filter(~F.col("ok")).select(
-                    "url",
-                    F.lit(s).cast("long").alias("superstep"),
-                    F.col("err").alias("error"),
-                    F.col("html").alias("raw"),
-                )
-            )
+            .localCheckpoint(eager=False)
+        )
+        self._jd(f"s{s}:categories_count")
+        n_new_cats = new_cats.count()
+        self._jd(f"s{s}:categories_write")
+        store.write_delta(
+            "categories",
+            new_cats.select(
+                "id", "category_name", "category_img", "parent_id", "seq"
+            ),
+            s,
+        )
+        store.manifest["counters"]["max_cat_seq"] = max_seq + n_new_cats
+        if n_new_cats:
+            self._seed_rows = None  # invalidate the cached seed index
+        if on_categories_written is not None:
+            on_categories_written()
+        self._append_img_cache(
+            new_cats.filter(
+                F.col("_img_link").isNotNull() & (F.col("_img_link") != "")
+            ).select(F.col("_img_link").alias("link")),
+            s,
+            suffix="cat",
+            approx_rows=n_new_cats,
+        )
 
+    # ------------------------------------------------------------------
+    def _listing_successors(self, cats, lst, n_cat, n_listing, s, successors):
+        """Listing page-1 / next-page / detail successors (S3). Runs
+        inside the frontier chain AFTER the categories delta is written
+        — the seed index ranks leaves by post-insert global seq."""
         # seed index: rank of leaf categories in global insertion order
         # (the reference's OrderBy(UpdateDate) seed priority, O1/P1)
         seed_idx = self._seed_idx_df()
@@ -729,16 +848,6 @@ class CrawlEngine:
             successors.append(succ_cat)
 
         if n_listing:
-            # three consumers (detail successors, page successors, error
-            # frame) — localCheckpoint so the JSON extraction runs once
-            # AND its expression tree stops being re-planned per action
-            lst = (
-                extract_listings(fetched.filter(F.col("kind") == "listing"))
-                # same width cut as details: html only survives for the
-                # ~ok error-quarantine rows
-                .withColumn("html", F.when(~F.col("ok"), F.col("html")))
-                .localCheckpoint(eager=False)
-            )
             lok = (
                 lst.filter(F.col("ok"))
                 .withColumn("_cat", _qparam("category"))
@@ -787,14 +896,6 @@ class CrawlEngine:
                 )
             )
             successors.append(succ_page)
-            error_frames.append(
-                lst.filter(~F.col("ok")).select(
-                    "url",
-                    F.lit(s).cast("long").alias("superstep"),
-                    F.col("err").alias("error"),
-                    F.col("html").alias("raw"),
-                )
-            )
 
     # ------------------------------------------------------------------
     def _seed_idx_df(self) -> DataFrame:

@@ -54,6 +54,10 @@ class StateStore:
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
         self._cleanup_uncommitted()
+        # superstep chains write different tables from driver threads;
+        # plain list ops are GIL-atomic but compact()'s read-modify-write
+        # of the gc list is not
+        self._pending_gc: list[str] = []
 
     # -- manifest -----------------------------------------------------------
     @property
@@ -74,6 +78,10 @@ class StateStore:
 
     def commit(self) -> None:
         """Atomic manifest swap — THE commit point of a superstep."""
+        # concurrent chains append their delta paths in scheduler order;
+        # sort for a run-order-independent (deterministic) manifest
+        for table in self.manifest["tables"]:
+            self.manifest["tables"][table].sort()
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=1)
@@ -192,12 +200,13 @@ class StateStore:
         self.manifest["tables"][table] = [path]
         # old deltas are removed by _cleanup_uncommitted on next open if
         # this manifest commits; remove eagerly only AFTER commit() —
-        # the engine calls gc_unreferenced() post-commit.
-        self._pending_gc = getattr(self, "_pending_gc", []) + paths
+        # the engine calls gc_unreferenced() post-commit. extend() is
+        # GIL-atomic (compactions run on concurrent driver threads).
+        self._pending_gc.extend(paths)
 
     def gc_unreferenced(self) -> None:
         """Remove delta dirs superseded by a committed compaction."""
-        for p in getattr(self, "_pending_gc", []):
+        for p in self._pending_gc:
             shutil.rmtree(p, ignore_errors=True)
         self._pending_gc = []
 
