@@ -257,3 +257,45 @@ SELECT doc_id,
                           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+# Rae et al. 2021 (Gopher, arXiv:2112.11446) filter documents whose
+# duplicate-n-gram fraction or top-n-gram fraction is high — machine-
+# generated / spammy text repeats itself. Per-doc signals only:
+# one hash agg on (doc_id, gram) then one on doc_id — linear, no pair
+# joins, partitions by doc_id so it scales embarrassingly at 100 TB.
+# Unlike the dedup shingles these grams are NON-distinct (multiplicity
+# is the signal).
+
+def _repetition_body(words: str, grams_case: str) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+g AS (SELECT doc_id, {grams_case} AS gram FROM w),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       cast(sum(c) AS bigint) AS n_grams,
+       count(*) AS n_distinct,
+       cast(max(c) AS bigint) AS top_count,
+       round(cast(sum(c) - count(*) AS double) / sum(c), 4) AS dup_frac,
+       round(cast(max(c) AS double) / sum(c), 4) AS top_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
+def repetition_spark(n: int = 2) -> str:
+    grams = f"""explode(CASE WHEN size(w) < {n}
+      THEN array(array_join(w, ' '))
+      ELSE transform(sequence(1, size(w) - {n - 1}),
+             i -> array_join(slice(w, i, {n}), ' ')) END)"""
+    return _repetition_body(SPARK_WORDS, grams)
+
+
+def repetition_duck(n: int = 2) -> str:
+    grams = f"""unnest(CASE WHEN len(w) < {n}
+      THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - {n - 2}),
+             i -> array_to_string(w[i:i + {n - 1}], ' ')) END)"""
+    return _repetition_body(DUCK_WORDS, grams)

@@ -592,6 +592,11 @@ _TRAIN: dict[str, Query] = {
         spark_sql=textstats.boilerplate_spark(),
         oracle=textstats.boilerplate_duck(),
     ),
+    "text_repetition": Query(
+        # Gopher-style intra-doc duplicate/top n-gram fractions
+        spark_sql=textstats.repetition_spark(),
+        oracle=textstats.repetition_duck(),
+    ),
     "text_pii_stats": Query(
         spark_sql=textstats.PII_SPARK, oracle=textstats.PII_DUCK
     ),
