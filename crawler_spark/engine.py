@@ -41,7 +41,7 @@ from .extract import (
 )
 from .politeness import politeness_take, robots_allowed
 from .statestore import StateStore
-from .urltools import canonicalize_udf, registrable_domain_udf
+from .urltools import canonicalize_once_udf, registrable_domain_udf
 
 _CKPT_PARTS = 16  # lineage partition granularity (url-hash)
 
@@ -204,7 +204,7 @@ class CrawlEngine:
         cfg = self.cfg
         seeds = self.spark.read.schema(schemas.SEEDS).parquet(self.seeds_path)
         f = (
-            seeds.withColumn("url", canonicalize_udf(F.col("url")))
+            seeds.withColumn("url", canonicalize_once_udf(F.col("url")))
             .filter(F.col("url").isNotNull())
             .withColumn("host", registrable_domain_udf(F.col("url")))
             .withColumn("path", F.format_string("%010d", F.col("seed_order")))
@@ -1004,7 +1004,7 @@ class CrawlEngine:
         # caps real parallelism.)
         succ = succ.coalesce(self.spark.sparkContext.defaultParallelism)
         if cfg.canonicalize_successors:
-            succ = succ.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+            succ = succ.withColumn("url", canonicalize_once_udf(F.col("url"))).filter(
                 F.col("url").isNotNull()
             )
         # first-wins on priority path per url (oracle: sorted-(path,url)

@@ -22,6 +22,16 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.ui.enabled": "false",
+    # Python-worker pooling: a superstep runs several concurrent UDF
+    # stages (canonicalize, bloom probe, sign builders); each
+    # ArrowEvalPython node × task asks the factory for a worker. With
+    # the default pool sizing (Spark 4.1) workers are not retained
+    # between stages, so every stage pays a fork + pyspark-import storm
+    # (~60 interpreter startups/stage, measured ~4 s/task of pure
+    # "time to initialize Python workers" — 40% of crawl wall at 100k
+    # pages). Retaining one pool slot per (node × core) removes it:
+    # measured 137 s → 83 s on the 100k study corpus at local[16].
+    "spark.python.factory.idleWorkerMaxPoolSize": "64",
     # pages.html is a fat binary column; keep input splits reasonable
     "spark.sql.files.maxPartitionBytes": "33554432",
 }

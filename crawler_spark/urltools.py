@@ -108,6 +108,15 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover - spark
     return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
 
 
+# The function IS deterministic; the marker only withholds the
+# optimizer freedoms that hurt here: with a deterministic UDF, the
+# `url IS NOT NULL` gate above it is pushed below the projection and
+# into every union branch, so each successor row is canonicalized
+# TWICE (event-log audit, exec 99: ArrowEvalPython per branch + again
+# post-union). Nondeterministic marking pins one evaluation per row.
+canonicalize_once_udf = canonicalize_udf.asNondeterministic()
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_with_base_udf(
     urls: pd.Series, bases: pd.Series

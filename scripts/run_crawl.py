@@ -53,7 +53,13 @@ def main() -> None:
 
     from crawler_spark.engine import CrawlEngine, EngineConfig
 
-    spark = SparkSession.builder.getOrCreate()
+    # retain Python workers across the superstep's UDF stages (see
+    # crawler_spark/session.py for the measured fork-storm cost)
+    spark = (
+        SparkSession.builder.config(
+            "spark.python.factory.idleWorkerMaxPoolSize", "64"
+        ).getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     eng = CrawlEngine(

@@ -33,7 +33,12 @@ def main() -> None:
     from crawler_spark import schemas
     from crawler_spark.extract import extract_details
 
-    spark = SparkSession.builder.getOrCreate()
+    # retain Python workers across UDF stages (crawler_spark/session.py)
+    spark = (
+        SparkSession.builder.config(
+            "spark.python.factory.idleWorkerMaxPoolSize", "64"
+        ).getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     # no repartition here: row-group-aligned input splits already give
