@@ -96,8 +96,11 @@ class PartitionedBloom:
 
     # -- persistence (part of the superstep checkpoint) ---------------------
     def save(self, path: str) -> None:
+        # uncompressed: the save runs once per superstep on the commit
+        # path, and zlib on the bitmaps was a measured ~0.7 s/superstep
+        # of pure barrier cost vs ~0.05 s raw (np.load reads either)
         tmp = path + ".tmp.npz"
-        np.savez_compressed(tmp, bits=self.bits, P=self.P, m=self.m, k=self.k)
+        np.savez(tmp, bits=self.bits, P=self.P, m=self.m, k=self.k)
         os.replace(tmp, path)
 
     @classmethod

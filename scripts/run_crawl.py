@@ -78,9 +78,18 @@ def main() -> None:
         ),
         fresh=args.fresh,
     )
+    def _vm_cpu_sec() -> float:
+        # machine-wide user+system CPU-seconds (see run_extract.py):
+        # steal/clock-noise-immune complement to wall-clock throughput
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return (int(parts[1]) + int(parts[3])) / 100.0
+
+    c0 = _vm_cpu_sec()
     t0 = time.monotonic()
     summary = eng.run(max_supersteps=args.max_supersteps)
     wall = time.monotonic() - t0
+    cpu = _vm_cpu_sec() - c0
     if os.environ.get("CRAWL_PHASE_LOG"):
         for st in summary["steps"]:
             print(json.dumps(st), file=sys.stderr)
@@ -92,6 +101,7 @@ def main() -> None:
                 "frontier_rows_left": summary["frontier_rows"],
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(summary["pages_fetched"] / wall, 1),
+                "cpu_sec": round(cpu, 2),
                 "parallelism": spark.sparkContext.defaultParallelism,
             }
         )

@@ -66,9 +66,20 @@ def main() -> None:
     # warmup pass: janino codegen compile + JVM JIT of the generated
     # kernel are one-time costs; throughput is the steady-state quantity
     out.write.mode("overwrite").format("noop").save()
+
+    def _vm_cpu_sec() -> float:
+        # machine-wide user+system jiffies (USER_HZ=100): CPU-seconds
+        # actually consumed, immune to the wall-clock noise a shared
+        # host injects (steal, frequency drift between runs)
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return (int(parts[1]) + int(parts[3])) / 100.0
+
+    c0 = _vm_cpu_sec()
     t0 = time.monotonic()
     out.write.mode("overwrite").format("noop").save()
     wall = time.monotonic() - t0
+    cpu = _vm_cpu_sec() - c0
     n = details.count()
     print(
         json.dumps(
@@ -76,6 +87,8 @@ def main() -> None:
                 "pages_extracted": n,
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(n / wall, 1),
+                "cpu_sec": round(cpu, 2),
+                "cpu_us_per_page": round(1e6 * cpu / n, 1),
                 "parallelism": spark.sparkContext.defaultParallelism,
             }
         )
