@@ -150,10 +150,11 @@ class CrawlEngine:
         spark: SparkSession,
         pages_path: str,
         seeds_path: str,
-        robots_path: str,
+        robots_path: str | None,
         state_dir: str,
         config: EngineConfig | None = None,
         fresh: bool = False,
+        robots_df: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or EngineConfig()
@@ -175,7 +176,13 @@ class CrawlEngine:
             self.pages = src.repartition(n_part).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        self.robots = spark.read.schema(schemas.ROBOTS).parquet(robots_path)
+        # pre-structured politeness table, or one parsed from raw
+        # robots.txt bodies by crawler_spark.robots.parse_robots_txt
+        self.robots = (
+            robots_df
+            if robots_df is not None
+            else spark.read.schema(schemas.ROBOTS).parquet(robots_path)
+        )
         self.seeds_path = seeds_path
         if self.store.manifest["frontier"] is None:
             self._init_frontier()

@@ -1,0 +1,198 @@
+"""robots.txt parsing and precedence gating, declaratively in Spark.
+
+The engine's politeness tables (``host, crawl_delay_ms,
+disallow_prefixes``) are pre-structured in the bundled fixtures, but a
+Common-Crawl-style ingest starts from RAW robots.txt bodies fetched per
+host. ``parse_robots_txt`` turns a DataFrame of raw bodies into that
+structured table with RFC 9309 semantics, entirely in JVM expressions
+(split/explode + two per-host windows + one aggregation — partitioned
+by host, so at 10^8-host scale it is an embarrassingly parallel pass
+with a single shuffle on host).
+
+Reference analog: none (the reference crawls one cooperative API and
+ships no robots handling — HZ.Crawler.DataSpider/BaseSpider.cs fetches
+unconditionally); this implements the north rule's "enforces robots.txt
+rules" requirement end-to-end.
+
+Semantics implemented (RFC 9309 + de-facto extensions):
+- ``#`` comments stripped; keys case-insensitive; rule values (paths)
+  case-sensitive; blank/garbage lines ignored.
+- Groups: consecutive ``User-agent`` lines share the rule block that
+  follows; a new block starts at the first ``User-agent`` after rules.
+- Group choice: the most specific matching agent token — the longest
+  token the product (lowercased) agent name STARTS WITH; ``*`` matches
+  with the lowest specificity. ALL groups at the winning specificity
+  merge (RFC 9309 §2.2.1: multiple groups for the same agent combine).
+- ``Crawl-delay`` (de-facto): seconds, fractional allowed; the minimum
+  across merged groups wins; milliseconds in the output.
+- ``Allow`` / ``Disallow``: emitted as prefix lists. Empty Disallow
+  ("allow all") lines are dropped.
+
+``robots_allowed_precedence`` applies Google/RFC longest-match
+precedence (most specific of the matching allow/disallow prefixes wins;
+tie → allow) — a strict superset of the engine's default
+``politeness.robots_allowed`` prefix gate, provided for corpora whose
+robots actually carry Allow overrides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEYS = ("user-agent", "disallow", "allow", "crawl-delay")
+
+
+def parse_robots_txt(
+    raw: DataFrame,
+    agent: str = "crawler-spark",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    default_crawl_delay_ms: int | None = None,
+) -> DataFrame:
+    """``(host, robots_txt)`` → ``(host, crawl_delay_ms,
+    disallow_prefixes, allow_prefixes)``; one output row per input host
+    (hosts whose robots yield no applicable group get empty prefix
+    lists and a null/default crawl delay — RFC: no group ⇒ allow all).
+    """
+    agent_lc = agent.lower()
+    lines = (
+        raw.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(body_col), F.lit("")), "\r?\n")
+            ).alias("ln", "raw_line"),
+        )
+        # strip comments, then whitespace
+        .withColumn(
+            "line", F.trim(F.regexp_replace(F.col("raw_line"), "#.*$", ""))
+        )
+        .filter(F.col("line").contains(":"))
+        .withColumn(
+            "key",
+            F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))),
+        )
+        .withColumn(
+            "value",
+            F.trim(
+                F.expr("substring(line, instr(line, ':') + 1, length(line))")
+            ),
+        )
+        .filter(F.col("key").isin(*_KEYS))
+    )
+
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (
+        lines.withColumn(
+            "new_grp",
+            (
+                (F.col("key") == "user-agent")
+                & (
+                    F.coalesce(F.lag("key").over(w), F.lit(""))
+                    != "user-agent"
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "gid",
+            F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("gid") > 0)  # rules before any User-agent: ignored
+    )
+
+    # specificity of each group for OUR agent: longest agent token the
+    # product UA starts with; '*' scores 0; no match -> null
+    groups = grouped.groupBy("host", "gid").agg(
+        F.max(
+            F.when(
+                F.col("key") == "user-agent",
+                F.when(F.lower(F.col("value")) == "*", F.lit(0)).otherwise(
+                    F.when(
+                        F.lit(agent_lc).startswith(F.lower(F.col("value"))),
+                        F.length(F.col("value")),
+                    )
+                ),
+            )
+        ).alias("score"),
+        F.collect_list(
+            F.when(
+                (F.col("key") == "disallow") & (F.col("value") != ""),
+                F.col("value"),
+            )
+        ).alias("disallow"),
+        F.collect_list(
+            F.when(
+                (F.col("key") == "allow") & (F.col("value") != ""),
+                F.col("value"),
+            )
+        ).alias("allow"),
+        F.min(
+            F.when(
+                F.col("key") == "crawl-delay",
+                F.col("value").cast("double"),
+            )
+        ).alias("delay_s"),
+    )
+
+    best = Window.partitionBy("host")
+    chosen = (
+        groups.filter(F.col("score").isNotNull())
+        .withColumn("best", F.max("score").over(best))
+        .filter(F.col("score") == F.col("best"))
+        .groupBy("host")
+        .agg(
+            F.flatten(F.collect_list("disallow")).alias("disallow_prefixes"),
+            F.flatten(F.collect_list("allow")).alias("allow_prefixes"),
+            F.min("delay_s").alias("delay_s"),
+        )
+    )
+
+    default_ms = (
+        F.lit(None).cast("long")
+        if default_crawl_delay_ms is None
+        else F.lit(default_crawl_delay_ms).cast("long")
+    )
+    return (
+        raw.select(F.col(host_col).alias("host"))
+        .distinct()
+        .join(chosen, "host", "left")
+        .select(
+            "host",
+            F.coalesce(
+                F.ceil(F.col("delay_s") * 1000).cast("long"), default_ms
+            ).alias("crawl_delay_ms"),
+            F.coalesce(
+                F.col("disallow_prefixes"),
+                F.array().cast("array<string>"),
+            ).alias("disallow_prefixes"),
+            F.coalesce(
+                F.col("allow_prefixes"), F.array().cast("array<string>")
+            ).alias("allow_prefixes"),
+        )
+    )
+
+
+def robots_allowed_precedence(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """Longest-match allow/disallow gate (RFC 9309 §2.2.2): the most
+    specific prefix that matches the URL path decides; a tie between an
+    allow and a disallow of equal length resolves to allow. Expects
+    ``url`` + ``host`` on ``df``; ``robots`` as produced by
+    ``parse_robots_txt``. Broadcast join — the robots relation is
+    dimension-sized (one row per host)."""
+    r = robots.select("host", "disallow_prefixes", "allow_prefixes")
+    best_dis = "array_max(transform(filter(disallow_prefixes, p -> startswith(_path, p)), p -> length(p)))"
+    best_alw = "array_max(transform(filter(allow_prefixes, p -> startswith(_path, p)), p -> length(p)))"
+    return (
+        df.join(F.broadcast(r), "host", "left")
+        .withColumn(
+            "_path",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        )
+        .withColumn("_d", F.expr(best_dis))
+        .withColumn("_a", F.expr(best_alw))
+        .filter(
+            F.col("_d").isNull()
+            | (F.coalesce(F.col("_a"), F.lit(-1)) >= F.col("_d"))
+        )
+        .drop("disallow_prefixes", "allow_prefixes", "_path", "_d", "_a")
+    )

@@ -26,7 +26,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--seeds", required=True)
-    ap.add_argument("--robots", required=True)
+    ap.add_argument(
+        "--robots",
+        required=True,
+        help="politeness table parquet (host, crawl_delay_ms, "
+        "disallow_prefixes), or with --robots-raw a parquet of raw "
+        "bodies (host, robots_txt) parsed in-engine",
+    )
+    ap.add_argument(
+        "--robots-raw",
+        action="store_true",
+        default=False,
+        help="treat --robots as raw robots.txt bodies and parse them "
+        "(crawler_spark.robots.parse_robots_txt, RFC 9309 semantics)",
+    )
+    ap.add_argument("--robots-agent", default="crawler-spark")
     ap.add_argument("--state", required=True)
     ap.add_argument("--budget-ms", type=int, default=3_600_000)
     ap.add_argument("--max-k", type=int, default=500_000)
@@ -62,12 +76,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    robots_df = None
+    if args.robots_raw:
+        from crawler_spark.robots import parse_robots_txt
+
+        cfg_default_delay = EngineConfig().default_crawl_delay_ms
+        robots_df = parse_robots_txt(
+            spark.read.parquet(args.robots),
+            agent=args.robots_agent,
+            default_crawl_delay_ms=cfg_default_delay,
+        ).drop("allow_prefixes")
+
     eng = CrawlEngine(
         spark,
         pages_path=args.pages,
         seeds_path=args.seeds,
         robots_path=args.robots,
         state_dir=args.state,
+        robots_df=robots_df,
         config=EngineConfig(
             budget_ms=args.budget_ms,
             max_k=args.max_k,

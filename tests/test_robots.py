@@ -1,0 +1,229 @@
+"""robots.txt parser + precedence gate (crawler_spark/robots.py).
+
+Oracle: hand-derived RFC 9309 outcomes for each fixture body, plus a
+cross-check of the simple-prefix gate against python's stdlib parser
+where their semantics coincide.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.robots import parse_robots_txt, robots_allowed_precedence
+
+BODIES = {
+    # plain single group, comments, blank lines, crawl-delay
+    "a.test": """
+# friendly bot notes
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2.5
+
+Sitemap: https://a.test/sitemap.xml
+""",
+    # specific agent beats *; consecutive UA lines share one group
+    "b.test": """
+User-agent: crawler-spark
+User-agent: otherbot
+Disallow: /only-for-us/
+Crawl-delay: 1
+
+User-agent: *
+Disallow: /
+""",
+    # allow override + longest-match precedence
+    "c.test": """
+User-agent: *
+Disallow: /shop/
+Allow: /shop/public/
+""",
+    # multiple groups for the same agent merge (RFC 9309 2.2.1)
+    "d.test": """
+User-agent: *
+Disallow: /x/
+
+User-agent: *
+Disallow: /y/
+Crawl-delay: 7
+""",
+    # empty Disallow = allow all; rules before any UA line ignored
+    "e.test": """
+Disallow: /orphan-rule-ignored/
+User-agent: *
+Disallow:
+""",
+    # no applicable group for us
+    "f.test": """
+User-agent: nosuchbot
+Disallow: /
+""",
+    # key case-insensitivity, value case preserved, \r\n endings
+    "g.test": "USER-AGENT: *\r\nDISALLOW: /CaseSensitive/\r\nCRAWL-DELAY: 0.1\r\n",
+}
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    raw = spark.createDataFrame(
+        list(BODIES.items()), schema="host string, robots_txt string"
+    )
+    rows = parse_robots_txt(
+        raw, agent="crawler-spark", default_crawl_delay_ms=3000
+    ).collect()
+    return {r["host"]: r for r in rows}
+
+
+def test_single_group_with_comments_and_delay(parsed):
+    r = parsed["a.test"]
+    assert sorted(r["disallow_prefixes"]) == ["/private/", "/tmp/"]
+    assert r["allow_prefixes"] == []
+    assert r["crawl_delay_ms"] == 2500
+
+
+def test_specific_agent_beats_wildcard(parsed):
+    r = parsed["b.test"]
+    assert r["disallow_prefixes"] == ["/only-for-us/"]
+    assert r["crawl_delay_ms"] == 1000
+
+
+def test_allow_prefixes_surfaced(parsed):
+    r = parsed["c.test"]
+    assert r["disallow_prefixes"] == ["/shop/"]
+    assert r["allow_prefixes"] == ["/shop/public/"]
+
+
+def test_same_agent_groups_merge(parsed):
+    r = parsed["d.test"]
+    assert sorted(r["disallow_prefixes"]) == ["/x/", "/y/"]
+    assert r["crawl_delay_ms"] == 7000
+
+
+def test_empty_disallow_and_orphan_rules(parsed):
+    r = parsed["e.test"]
+    assert r["disallow_prefixes"] == []
+    assert r["crawl_delay_ms"] == 3000  # default: group had no delay
+
+
+def test_no_applicable_group_allows_all(parsed):
+    r = parsed["f.test"]
+    assert r["disallow_prefixes"] == []
+    assert r["allow_prefixes"] == []
+    assert r["crawl_delay_ms"] == 3000
+
+
+def test_case_and_crlf(parsed):
+    r = parsed["g.test"]
+    assert r["disallow_prefixes"] == ["/CaseSensitive/"]
+    assert r["crawl_delay_ms"] == 100
+
+
+def test_stdlib_cross_check(spark):
+    """Where semantics coincide (no Allow rules), our gate must agree
+    with urllib.robotparser on every (host, path) probe."""
+    import urllib.robotparser
+
+    probes = ["/", "/private/x", "/tmp/", "/shop/a", "/only-for-us/", "/ok"]
+    hosts = ["a.test", "b.test", "d.test", "e.test", "f.test"]
+    raw = spark.createDataFrame(
+        [(h, BODIES[h]) for h in hosts], schema="host string, robots_txt string"
+    )
+    robots = parse_robots_txt(raw, agent="crawler-spark")
+    frontier = spark.createDataFrame(
+        [(h, f"https://{h}{p}") for h in hosts for p in probes],
+        schema="host string, url string",
+    )
+    ours = {
+        (r["host"], r["url"])
+        for r in robots_allowed_precedence(frontier, robots).collect()
+    }
+    for h in hosts:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(BODIES[h].splitlines())
+        for p in probes:
+            url = f"https://{h}{p}"
+            expect = rp.can_fetch("crawler-spark", url)
+            assert ((h, url) in ours) == expect, (h, p)
+
+
+def test_precedence_allow_override(spark):
+    raw = spark.createDataFrame(
+        [("c.test", BODIES["c.test"])], schema="host string, robots_txt string"
+    )
+    robots = parse_robots_txt(raw)
+    frontier = spark.createDataFrame(
+        [
+            ("c.test", "https://c.test/shop/secret"),
+            ("c.test", "https://c.test/shop/public/item"),
+            ("c.test", "https://c.test/other"),
+        ],
+        schema="host string, url string",
+    )
+    got = sorted(
+        r["url"] for r in robots_allowed_precedence(frontier, robots).collect()
+    )
+    assert got == [
+        "https://c.test/other",
+        "https://c.test/shop/public/item",
+    ]
+
+
+def test_parse_plan_shape(spark):
+    """Scale contract: the parse is one shuffle on host (windows + agg
+    share the partitioning) and never broadcasts the bodies."""
+    raw = spark.createDataFrame(
+        list(BODIES.items()), schema="host string, robots_txt string"
+    )
+    plan = parse_robots_txt(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_engine_crawl_from_raw_robots(spark, smoke_dir, tmp_path_factory):
+    """End-to-end: rendering the smoke fixture's structured robots as
+    raw robots.txt bodies, parsing them back, and crawling must give
+    the same superstep/fetch totals as the structured-table crawl
+    (FIXTURES.md golden: 303 pages, 4 supersteps, drained frontier)."""
+    from pyspark.sql import Row
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    structured = spark.read.parquet(f"{smoke_dir}/robots.parquet").collect()
+    bodies = []
+    for r in structured:
+        lines = ["User-agent: *"]
+        lines += [f"Disallow: {p}" for p in (r["disallow_prefixes"] or [])]
+        lines.append(f"Crawl-delay: {r['crawl_delay_ms'] / 1000}")
+        bodies.append(Row(host=r["host"], robots_txt="\n".join(lines)))
+    raw = spark.createDataFrame(bodies)
+    robots_df = parse_robots_txt(raw, default_crawl_delay_ms=3000).drop(
+        "allow_prefixes"
+    )
+    # parsed table must reproduce the structured one exactly
+    got = {
+        r["host"]: (r["crawl_delay_ms"], sorted(r["disallow_prefixes"]))
+        for r in robots_df.collect()
+    }
+    want = {
+        r["host"]: (
+            r["crawl_delay_ms"],
+            sorted(r["disallow_prefixes"] or []),
+        )
+        for r in structured
+    }
+    assert got == want
+
+    state = str(tmp_path_factory.mktemp("raw-robots-state"))
+    eng = CrawlEngine(
+        spark,
+        pages_path=f"{smoke_dir}/pages.parquet",
+        seeds_path=f"{smoke_dir}/seeds.parquet",
+        robots_path=None,
+        robots_df=robots_df,
+        state_dir=state,
+        config=EngineConfig(budget_ms=3_600_000),
+        fresh=True,
+    )
+    summary = eng.run(max_supersteps=200)
+    assert summary["pages_fetched"] == 303
+    assert summary["supersteps"] == 4
+    assert summary["frontier_rows"] == 0
