@@ -20,6 +20,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import sitemap
 from .operators import cluster, dedup, multimodal, similarity, textstats
 
 _TABLES = (
@@ -591,6 +592,13 @@ _TRAIN: dict[str, Query] = {
     "text_boilerplate": Query(
         spark_sql=textstats.boilerplate_spark(),
         oracle=textstats.boilerplate_duck(),
+    ),
+    "sitemap_extract": Query(
+        # construct-then-parse sitemap entry extraction: both engines
+        # build the same deterministic urlset per document and parse it
+        # back with their own regex engines (crawler_spark/sitemap.py)
+        spark_sql=sitemap.SITEMAP_SPARK,
+        oracle=sitemap.SITEMAP_DUCK,
     ),
     "text_repetition": Query(
         # Gopher-style intra-doc duplicate/top n-gram fractions
