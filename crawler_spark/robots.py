@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_KEYS = ("user-agent", "disallow", "allow", "crawl-delay")
+_KEYS = ("user-agent", "disallow", "allow", "crawl-delay", "sitemap")
 
 
 def parse_robots_txt(
@@ -51,7 +51,7 @@ def parse_robots_txt(
     default_crawl_delay_ms: int | None = None,
 ) -> DataFrame:
     """``(host, robots_txt)`` → ``(host, crawl_delay_ms,
-    disallow_prefixes, allow_prefixes)``; one output row per input host
+    disallow_prefixes, allow_prefixes, sitemap_urls)``; one output row per input host
     (hosts whose robots yield no applicable group get empty prefix
     lists and a null/default crawl delay — RFC: no group ⇒ allow all).
     """
@@ -80,6 +80,16 @@ def parse_robots_txt(
         )
         .filter(F.col("key").isin(*_KEYS))
     )
+
+    # Sitemap: directives live OUTSIDE groups (sitemaps.org: location-
+    # independent, apply to the whole host) — split them off before the
+    # group machinery so a stray Sitemap line can't break group runs
+    sitemaps = (
+        lines.filter(F.col("key") == "sitemap")
+        .groupBy("host")
+        .agg(F.array_distinct(F.collect_list("value")).alias("sitemap_urls"))
+    )
+    lines = lines.filter(F.col("key") != "sitemap")
 
     w = Window.partitionBy("host").orderBy("ln")
     grouped = (
@@ -156,6 +166,7 @@ def parse_robots_txt(
         raw.select(F.col(host_col).alias("host"))
         .distinct()
         .join(chosen, "host", "left")
+        .join(sitemaps, "host", "left")
         .select(
             "host",
             F.coalesce(
@@ -168,6 +179,9 @@ def parse_robots_txt(
             F.coalesce(
                 F.col("allow_prefixes"), F.array().cast("array<string>")
             ).alias("allow_prefixes"),
+            F.coalesce(
+                F.col("sitemap_urls"), F.array().cast("array<string>")
+            ).alias("sitemap_urls"),
         )
     )
 

@@ -85,7 +85,7 @@ def main() -> None:
             spark.read.parquet(args.robots),
             agent=args.robots_agent,
             default_crawl_delay_ms=cfg_default_delay,
-        ).drop("allow_prefixes")
+        ).drop("allow_prefixes", "sitemap_urls")
 
     eng = CrawlEngine(
         spark,

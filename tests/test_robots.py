@@ -196,7 +196,7 @@ def test_engine_crawl_from_raw_robots(spark, smoke_dir, tmp_path_factory):
         bodies.append(Row(host=r["host"], robots_txt="\n".join(lines)))
     raw = spark.createDataFrame(bodies)
     robots_df = parse_robots_txt(raw, default_crawl_delay_ms=3000).drop(
-        "allow_prefixes"
+        "allow_prefixes", "sitemap_urls"
     )
     # parsed table must reproduce the structured one exactly
     got = {
@@ -227,3 +227,10 @@ def test_engine_crawl_from_raw_robots(spark, smoke_dir, tmp_path_factory):
     assert summary["pages_fetched"] == 303
     assert summary["supersteps"] == 4
     assert summary["frontier_rows"] == 0
+
+
+def test_sitemap_lines_collected(parsed):
+    assert parsed["a.test"]["sitemap_urls"] == [
+        "https://a.test/sitemap.xml"
+    ]
+    assert parsed["b.test"]["sitemap_urls"] == []
