@@ -25,6 +25,14 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
+    ap.add_argument(
+        "--pages-warc",
+        action="store_true",
+        default=False,
+        help="treat --pages as a directory of .warc/.warc.gz archives "
+        "(Common-Crawl layout); ingested once to <state>/pages-ingest "
+        "parquet (crawler_spark.warc), then crawled from there",
+    )
     ap.add_argument("--seeds", required=True)
     ap.add_argument(
         "--robots",
@@ -76,6 +84,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    pages_path = args.pages
+    if args.pages_warc:
+        from crawler_spark.warc import pages_from_warc
+
+        # one-shot ingest (the CC→table ETL step); idempotent per state
+        # dir, overwritten on --fresh re-runs
+        pages_path = os.path.join(args.state + "-ingest", "pages.parquet")
+        if args.fresh or not os.path.exists(pages_path):
+            pages_from_warc(spark, args.pages).write.mode(
+                "overwrite"
+            ).parquet(pages_path)
+
     robots_df = None
     if args.robots_raw:
         from crawler_spark.robots import parse_robots_txt
@@ -89,7 +109,7 @@ def main() -> None:
 
     eng = CrawlEngine(
         spark,
-        pages_path=args.pages,
+        pages_path=pages_path,
         seeds_path=args.seeds,
         robots_path=args.robots,
         state_dir=args.state,
