@@ -193,6 +193,15 @@ Zipf-skewed with one mega-host, seed=42), fresh state per run, two
 parallelism levels in separate JVMs — the in-sandbox stand-in for N vs
 4N executors required by the north rule.
 
+**Measurement note (shared host).** This sandbox VM shares a host:
+identical runs swing +-25% wall-clock from CPU steal. Single-shot
+numbers below are a lower bound; for noise-controlled evidence run
+alternating repeats per level and read the `cpu_sec` /
+`cpu_us_per_page` fields the scripts emit (machine-wide /proc/stat) —
+flat CPU-per-page across levels is the steal-immune signal that the
+algorithm adds no coordination work with parallelism (see the round-2
+analysis in git history of this file's output and BASELINE.md).
+
 ## Data-plane throughput (barrier-free extraction pass)
 
 `scripts/run_extract.py`: scan → byte-identical extraction kernel
@@ -216,10 +225,9 @@ executors parallelize at 10^10-URL scale.
 
 Loop efficiency {N_SMALL}→{N_BIG}: {cr_eff:.3f}. The gap vs the
 data-plane number is the per-superstep barrier cost (~{per_step_fixed} s
-per superstep in this single-JVM sandbox: driver scheduling, manifest
-commits, bloom save) — constant per superstep, independent of BOTH data
-volume and core count, so it amortizes to noise at production batch
-sizes (a 10^10-URL frontier fetches 10^7-10^8 pages per superstep; here
+per superstep in this single-JVM sandbox: driver scheduling of ~10
+small jobs, manifest commits, frontier rewrite) — independent of data
+volume, so it amortizes to noise at production batch sizes (a 10^10-URL frontier fetches 10^7-10^8 pages per superstep; here
 a superstep averages ~{max(1, cr_big['pages_fetched'] // max(1, cr_big['supersteps']))}).
 Reference implied ceiling for comparison: ≈1.1 pages/s
 (5 workers / 4.5 s politeness delay — BASELINE.md).
