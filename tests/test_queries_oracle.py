@@ -73,6 +73,26 @@ def test_query_matches_duckdb(spark, duck, name):
     assert srows == drows
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_decimal_columns(spark, name):
+    """Regression guard for round 1's driver hash failures: Spark parses
+    bare decimal literals (``0.0``) as DECIMAL, so an un-cast ratio
+    returns DecimalType while DuckDB returns DOUBLE — values agree but
+    the driver's type-sensitive value hash differs on every row. The
+    local _norm() above coerces Decimal→float and would mask it, so
+    assert at the schema level instead."""
+    from pyspark.sql.types import DecimalType
+
+    q = QUERIES[name]
+    sdf = q.run(spark, SF_DIR)
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name}: DecimalType columns {bad} — cast to double "
+        "(driver hash compares types, DuckDB returns DOUBLE)"
+    )
+
+
 def test_rows_only_queries_run(spark):
     for name, q in all_queries().items():
         if q.oracle is None:
