@@ -680,3 +680,54 @@ p AS (
 SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
 FROM p WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination (cross-source n-gram overlap)
+# ---------------------------------------------------------------------------
+# Training pipelines must drop train documents that overlap benchmark /
+# eval sets (n-gram contamination, GPT-3 appendix C / Dolma-style).
+# Shape at 100 TB: the eval side is tiny (benchmark suites, ~10^5 docs)
+# -> its DISTINCT shingle set broadcasts; the train side streams through
+# a map-side hash-join probe with no shuffle of the corpus itself. Only
+# the per-doc hit-count groupBy shuffles (doc_id, count) pairs. The
+# reference has no analog (it dedups by exact MD5 only,
+# HZ.Crawler.DataSpider/BaseSpider.cs:275-287); this is the scale path
+# the brief's training-data section demands.
+#
+# Production uses 13-gram shingles; n=3 here so sf0.01's short synthetic
+# documents produce non-vacuous overlap. Eval membership is a source
+# predicate, injectable via the `eval_sources` argument.
+
+def _decontaminate_body(shingle_sql: str, eval_sources: str,
+                        threshold: float) -> str:
+    return f"""
+WITH sh AS ({shingle_sql}),
+tagged AS (
+  SELECT s.doc_id, s.sh, d.source IN ({eval_sources}) AS is_eval
+  FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+eval_sh AS (SELECT DISTINCT sh FROM tagged WHERE is_eval),
+train AS (SELECT doc_id, sh FROM tagged WHERE NOT is_eval),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_contaminated
+  FROM train t JOIN eval_sh e ON t.sh = e.sh
+  GROUP BY t.doc_id)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(cast(coalesce(h.n_contaminated, 0) AS double) / s.n_shingles, 4)
+         AS contamination,
+       CASE WHEN cast(coalesce(h.n_contaminated, 0) AS double) / s.n_shingles
+                 >= {threshold} THEN 1 ELSE 0 END AS flagged
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+def decontaminate_spark(n: int = 3, threshold: float = 0.5,
+                        eval_sources: str = "'src0','src1'") -> str:
+    return _decontaminate_body(spark_shingle_sql(n), eval_sources, threshold)
+
+
+def decontaminate_duck(n: int = 3, threshold: float = 0.5,
+                       eval_sources: str = "'src0','src1'") -> str:
+    return _decontaminate_body(duck_shingle_sql(n), eval_sources, threshold)

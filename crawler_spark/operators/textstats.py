@@ -299,3 +299,70 @@ def repetition_duck(n: int = 2) -> str:
       ELSE list_transform(range(1, len(w) - {n - 2}),
              i -> array_to_string(w[i:i + {n - 1}], ' ')) END)"""
     return _repetition_body(DUCK_WORDS, grams)
+
+
+# ---------------------------------------------------------------------------
+# global vocabulary stats: corpus-wide token frequency top-k
+# ---------------------------------------------------------------------------
+# The word-count of a training pipeline: tokenizer-vocab construction,
+# stopword discovery, boilerplate-phrase mining. Scale shape: one
+# groupBy(token) with map-side partial aggregation (the token relation
+# never materializes — explode feeds the hash-agg directly) and the
+# top-k is ORDER BY + LIMIT, which Spark executes as
+# TakeOrderedAndProject (per-partition heaps, no global sort). Ties at
+# the k-boundary are broken by token text, so the result SET is
+# deterministic cross-engine.
+
+VOCAB_K = 50
+
+VOCAB_SPARK = f"""
+WITH toks AS (SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents),
+f AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token)
+SELECT token, tf, df FROM f
+ORDER BY tf DESC, token
+LIMIT {VOCAB_K}
+"""
+
+VOCAB_DUCK = f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),
+f AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token)
+SELECT token, tf, df FROM f
+ORDER BY tf DESC, token
+LIMIT {VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-language keep rates)
+# ---------------------------------------------------------------------------
+# Data mixing: training pipelines up/down-sample per stratum (language,
+# source, quality band). Random sampling is not reproducible or
+# oracle-able; instead each doc maps to a bucket in [0,100) via a salted
+# md5 of its id — deterministic, uniform, engine-portable (hex prefix ->
+# integer), and stable under corpus growth (a doc's keep/drop never
+# changes when other docs arrive — resumable ingestion needs exactly
+# this). Pure map-side projection + filter: no shuffle at any scale.
+
+_RATES = "WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 80 WHEN lang = 'de' THEN 60 WHEN lang = 'fr' THEN 60 WHEN lang = 'es' THEN 60 ELSE 10"
+
+SAMPLE_SPARK = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         cast(conv(substring(md5(concat(cast(doc_id AS string), ':s42')),
+                             1, 8), 16, 10) AS bigint) % 100 AS bucket,
+         CASE {_RATES} END AS rate
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+"""
+
+SAMPLE_DUCK = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':s42'), 1, 8))::BIGINT
+           % 100 AS bucket,
+         CASE {_RATES} END AS rate
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+"""

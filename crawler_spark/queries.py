@@ -608,6 +608,24 @@ _TRAIN: dict[str, Query] = {
     "text_pii_stats": Query(
         spark_sql=textstats.PII_SPARK, oracle=textstats.PII_DUCK
     ),
+    "text_vocab_topk": Query(
+        # corpus-wide token frequency top-k (tokenizer-vocab /
+        # stopword-mining pass; TakeOrderedAndProject, no global sort)
+        spark_sql=textstats.VOCAB_SPARK,
+        oracle=textstats.VOCAB_DUCK,
+    ),
+    "sample_stratified": Query(
+        # deterministic salted-hash stratified sampling (data mixing);
+        # map-side only, reproducible across engines and corpus growth
+        spark_sql=textstats.SAMPLE_SPARK,
+        oracle=textstats.SAMPLE_DUCK,
+    ),
+    "dedup_decontaminate": Query(
+        # train/eval n-gram contamination flagging: broadcast the eval
+        # shingle set, stream the train side (GPT-3-style decontam)
+        spark_sql=dedup.decontaminate_spark(),
+        oracle=dedup.decontaminate_duck(),
+    ),
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK
     ),
