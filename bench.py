@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "text_simhash",
     "text_boilerplate",
     "text_pii_stats",
+    "text_vocab_topk",
+    "sample_stratified",
+    "dedup_decontaminate",
     "ann_brute_topk",
     "mm_decode_features",
 ]

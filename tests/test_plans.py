@@ -155,3 +155,34 @@ def test_whole_stage_codegen_covers_extraction(spark, smoke_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan
+
+
+def test_decontaminate_hash_joins_only(spark):
+    """Decontamination must probe the (broadcastable) eval shingle set
+    via hash equi-joins — no all-pairs product anywhere; at 100 TB the
+    train side streams map-side against the broadcast eval set."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["dedup_decontaminate"].run(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """The vocabulary top-k must run as TakeOrderedAndProject
+    (per-partition heaps) — a global Sort of the token relation would
+    materialize the whole vocabulary at one task."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["text_vocab_topk"].run(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """Deterministic sampling is a projection + filter: no exchange,
+    no join, no aggregate anywhere in the plan."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sample_stratified"].run(spark, SF_DIR))
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, f"unexpected {op} in\n{plan}"
