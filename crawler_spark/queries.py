@@ -146,7 +146,7 @@ WHERE o.o_orderstatus = 'F'
 _REL["j2_brand_lookup"] = Query(
     # J2 (ShiweijiaProduct.cs:228-240): broadcast dim lookup
     spark_sql="""
-SELECT /*+ BROADCAST(part) */ l.l_orderkey, l.l_linenumber, p.p_brand
+SELECT /*+ BROADCAST(p) */ l.l_orderkey, l.l_linenumber, p.p_brand
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 """,
     oracle="""
@@ -158,7 +158,7 @@ FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 _REL["j3_parent_lookup"] = Query(
     # J3 (ShiweijiaProduct.cs:63-64): two-hop parent resolution
     spark_sql="""
-SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+SELECT /*+ BROADCAST(n), BROADCAST(r) */
        c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
 FROM customer c
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Loop-efficiency measurement matrix with storm resilience.
+
+Runs full-crawl cells (corpus size × parallelism × adaptive-min-batch)
+in an ALTERNATING order so episodic host contention (this sandbox is a
+VM on a shared host; see BENCH.md measurement note) hits both levels
+symmetrically, and appends one JSON line per cell to the results file
+immediately — a killed run loses at most the in-flight cell.
+
+Each cell also samples /proc/stat steal around the run so stormy cells
+can be identified and discarded when curating BENCH.md.
+
+Usage:
+    python scripts/loop_matrix.py OUT.jsonl SPEC [SPEC...]
+    SPEC = n_products:min_batch:cores (e.g. 1000000:100000:4)
+Cells run in the order given; repeat a spec for best-of sampling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import subprocess  # noqa: E402
+
+from scripts.scaling_study import BUDGET_MS, build_zip  # noqa: E402
+from scripts.scaling_study import submit as _submit_base  # noqa: E402
+
+
+def submit(
+    cores: int, pyzip: str, script: str, extra: list[str], errlog: str = ""
+) -> dict:
+    """scaling_study.submit, but with stderr teed to a file so the
+    engine's per-superstep phase profile survives successful runs."""
+    if not errlog:
+        return _submit_base(cores, pyzip, script, extra)
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--conf", f"spark.sql.shuffle.partitions={max(8, cores)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.files.maxPartitionBytes=2097152",
+        "--py-files", pyzip,
+        os.path.join(REPO, "scripts", script),
+    ] + extra
+    t0 = time.monotonic()
+    with open(errlog, "w") as efh:
+        out = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=efh, text=True,
+            timeout=5400, check=False,
+        )
+    if out.returncode != 0:
+        raise SystemExit(f"spark-submit local[{cores}] {script} failed")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    res["submit_wall_sec"] = round(time.monotonic() - t0, 1)
+    return res
+
+
+def read_stat() -> tuple[int, int]:
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [int(x) for x in f[1:]]
+    return vals[7], sum(vals)  # steal ticks, total ticks
+
+
+def ensure_corpus(n_products: int) -> str:
+    from crawler_spark import fixtures as fx
+    from crawler_spark.urltools import registrable_domain
+
+    spec = fx.bench_spec(n_products=n_products)
+    return fx.ensure_corpus(
+        spec, os.path.join(REPO, ".fixtures"), registrable_domain
+    )
+
+
+def run_cell(
+    n: int, min_batch: int, cores: int, pyzip: str, idx: int = 0
+) -> dict:
+    import shutil
+
+    corpus = ensure_corpus(n)
+    state = f"/tmp/matrix-state-{cores}"
+    errlog = f"/tmp/matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}.err"
+    s0, t0 = read_stat()
+    res = submit(
+        cores,
+        pyzip,
+        "run_crawl.py",
+        [
+            "--pages", f"{corpus}/pages.parquet",
+            "--seeds", f"{corpus}/seeds.parquet",
+            "--robots", f"{corpus}/robots.parquet",
+            "--state", state,
+            "--stop-frontier-below", "300",
+            "--budget-ms", str(BUDGET_MS),
+            "--adaptive-budget",
+            "--adaptive-min-batch", str(min_batch),
+            "--fresh",
+        ],
+        errlog=errlog,
+    )
+    s1, t1 = read_stat()
+    shutil.rmtree(state, ignore_errors=True)
+    res.update(
+        n_products=n,
+        min_batch=min_batch,
+        steal_pct=round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+        ts=time.strftime("%H:%M:%S"),
+        errlog=errlog,
+    )
+    return res
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    specs = []
+    for a in sys.argv[2:]:
+        n, mb, c = (int(x) for x in a.split(":"))
+        specs.append((n, mb, c))
+    pyzip = build_zip()
+    for i, (n, mb, c) in enumerate(specs):
+        res = run_cell(n, mb, c, pyzip, idx=i)
+        print(json.dumps(res), file=sys.stderr)
+        with open(out_path, "a") as fh:
+            fh.write(json.dumps(res) + "\n")
+
+
+if __name__ == "__main__":
+    main()
