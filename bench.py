@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_decontaminate",
     "ann_brute_topk",
     "mm_decode_features",
+    "graph_pagerank",
 ]
 
 

@@ -21,7 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import sitemap
-from .operators import cluster, dedup, multimodal, similarity, textstats
+from .operators import cluster, dedup, graph, multimodal, similarity, textstats
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -625,6 +625,14 @@ _TRAIN: dict[str, Query] = {
         # shingle set, stream the train side (GPT-3-style decontam)
         spark_sql=dedup.decontaminate_spark(),
         oracle=dedup.decontaminate_duck(),
+    ),
+    "graph_pagerank": Query(
+        # frontier prioritization by link authority: K=3 power
+        # iterations over the symmetrized supplier↔customer graph —
+        # the iterative-fixpoint operator shape (one co-partitionable
+        # shuffle per round); DuckDB oracle unrolls the same K rounds
+        fn=graph.pagerank_df,
+        oracle=graph.pagerank_duck(),
     ),
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Fit the superstep barrier model from a phase-logged crawl run.
+
+The crawl loop's cost model is T = Σ_s (B + w·pages_s): a per-superstep
+barrier constant B (driver scheduling, frontier rewrite, state commit,
+bloom save — independent of batch size) plus data-plane work
+proportional to the batch. One run's supersteps span batch sizes from
+~1k (politeness-starved tail) to several 100k (widened windows), so an
+ordinary-least-squares fit of superstep seconds against fetched pages
+WITHIN one run yields B (intercept) and w (slope, sec/page) without
+comparing wall-clocks across runs — the comparison this shared-noisy-
+host sandbox cannot do reliably (BENCH.md measurement note).
+
+Loop-scaling reading: w(4 cores)/w(16 cores) is the data-plane speedup
+inside the loop; B(16) ≈ B(4) shows the barrier does not grow with
+parallelism; production extrapolation is T ≈ B·steps + w·pages with
+pages/step 100-1000× larger than this sandbox corpus.
+
+Usage:
+  CRAWL_PHASE_LOG=1 python scripts/loop_matrix.py OUT.jsonl SPEC... \
+      # per-superstep JSON lines land in each cell's errlog
+  python scripts/loop_fit.py /tmp/matrix-cell*.err
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def fit(xs: list[float], ys: list[float]) -> tuple[float, float, float]:
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    w = sxy / sxx if sxx else 0.0
+    b = my - w * mx
+    ss_res = sum((y - (b + w * x)) ** 2 for x, y in zip(xs, ys))
+    ss_tot = sum((y - my) ** 2 for y in ys) or 1e-12
+    return b, w, 1.0 - ss_res / ss_tot
+
+
+def steps_from_errlog(path: str) -> list[dict]:
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("{") and '"superstep"' in line:
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    return out
+
+
+def main() -> None:
+    for path in sys.argv[1:]:
+        steps = steps_from_errlog(path)
+        if len(steps) < 3:
+            print(f"{path}: {len(steps)} phase-logged supersteps — skip "
+                  "(run with CRAWL_PHASE_LOG=1)")
+            continue
+        xs = [float(s["fetched"]) for s in steps]
+        ys = [float(s["secs"]) for s in steps]
+        b, w, r2 = fit(xs, ys)
+        tot = sum(ys)
+        phases: dict[str, float] = {}
+        for s in steps:
+            for k, v in (s.get("phases") or {}).items():
+                phases[k] = phases.get(k, 0.0) + v
+        top = sorted(phases.items(), key=lambda kv: -kv[1])[:6]
+        print(
+            f"{path}\n  steps={len(steps)} pages={int(sum(xs))} "
+            f"loop_sec={tot:.1f}\n  fit: B={b:.2f} s/superstep  "
+            f"w={w * 1e6:.1f} us/page  R2={r2:.3f}\n  phase totals: "
+            + ", ".join(f"{k}={v:.1f}s" for k, v in top)
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,8 +12,16 @@ can be identified and discarded when curating BENCH.md.
 
 Usage:
     python scripts/loop_matrix.py OUT.jsonl SPEC [SPEC...]
-    SPEC = n_products:min_batch:cores (e.g. 1000000:100000:4)
+    SPEC = n_products:min_batch:cores[:n_hosts]
+    (e.g. 1000000:100000:4 or 1000000:100000:16:2048)
 Cells run in the order given; repeat a spec for best-of sampling.
+
+The n_hosts axis controls corpus WIDTH: a 64-host corpus is
+politeness-starved (per-host crawl-delay chains force many thin
+supersteps), while a 2048-host corpus matches the production
+Common-Crawl regime where each politeness window carries most of the
+frontier and supersteps are fat — the amortization the barrier model
+T = B(n)·steps + W(n)/cores predicts.
 """
 
 from __future__ import annotations
@@ -73,24 +81,29 @@ def read_stat() -> tuple[int, int]:
     return vals[7], sum(vals)  # steal ticks, total ticks
 
 
-def ensure_corpus(n_products: int) -> str:
+def ensure_corpus(n_products: int, n_hosts: int = 64) -> str:
     from crawler_spark import fixtures as fx
     from crawler_spark.urltools import registrable_domain
 
-    spec = fx.bench_spec(n_products=n_products)
+    spec = fx.bench_spec(n_products=n_products, n_hosts=n_hosts)
     return fx.ensure_corpus(
         spec, os.path.join(REPO, ".fixtures"), registrable_domain
     )
 
 
 def run_cell(
-    n: int, min_batch: int, cores: int, pyzip: str, idx: int = 0
+    n: int,
+    min_batch: int,
+    cores: int,
+    pyzip: str,
+    idx: int = 0,
+    n_hosts: int = 64,
 ) -> dict:
     import shutil
 
-    corpus = ensure_corpus(n)
+    corpus = ensure_corpus(n, n_hosts)
     state = f"/tmp/matrix-state-{cores}"
-    errlog = f"/tmp/matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}.err"
+    errlog = f"/tmp/matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}-h{n_hosts}.err"
     s0, t0 = read_stat()
     res = submit(
         cores,
@@ -114,6 +127,7 @@ def run_cell(
     res.update(
         n_products=n,
         min_batch=min_batch,
+        n_hosts=n_hosts,
         steal_pct=round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
         ts=time.strftime("%H:%M:%S"),
         errlog=errlog,
@@ -125,11 +139,13 @@ def main() -> None:
     out_path = sys.argv[1]
     specs = []
     for a in sys.argv[2:]:
-        n, mb, c = (int(x) for x in a.split(":"))
-        specs.append((n, mb, c))
+        parts = [int(x) for x in a.split(":")]
+        n, mb, c = parts[:3]
+        hosts = parts[3] if len(parts) > 3 else 64
+        specs.append((n, mb, c, hosts))
     pyzip = build_zip()
-    for i, (n, mb, c) in enumerate(specs):
-        res = run_cell(n, mb, c, pyzip, idx=i)
+    for i, (n, mb, c, hosts) in enumerate(specs):
+        res = run_cell(n, mb, c, pyzip, idx=i, n_hosts=hosts)
         print(json.dumps(res), file=sys.stderr)
         with open(out_path, "a") as fh:
             fh.write(json.dumps(res) + "\n")
