@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_brute_topk",
     "mm_decode_features",
     "graph_pagerank",
+    "events_asof_join",
 ]
 
 

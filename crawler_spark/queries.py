@@ -21,7 +21,15 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import sitemap
-from .operators import cluster, dedup, graph, multimodal, similarity, textstats
+from .operators import (
+    asof,
+    cluster,
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -625,6 +633,13 @@ _TRAIN: dict[str, Query] = {
         # shingle set, stream the train side (GPT-3-style decontam)
         spark_sql=dedup.decontaminate_spark(),
         oracle=dedup.decontaminate_duck(),
+    ),
+    "events_asof_join": Query(
+        # as-of join (latest strictly-prior left event per right event)
+        # as one shuffle + running window — no pairwise join; the
+        # DuckDB oracle is the independent join+rank formulation
+        fn=asof.asof_join_df,
+        oracle=asof.asof_duck(),
     ),
     "graph_pagerank": Query(
         # frontier prioritization by link authority: K=3 power
