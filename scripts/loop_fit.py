@@ -17,9 +17,12 @@ parallelism; production extrapolation is T ≈ B·steps + w·pages with
 pages/step 100-1000× larger than this sandbox corpus.
 
 Usage:
-  CRAWL_PHASE_LOG=1 python scripts/loop_matrix.py OUT.jsonl SPEC... \
-      # per-superstep JSON lines land in each cell's errlog
-  python scripts/loop_fit.py /tmp/matrix-cell*.err
+  python scripts/loop_matrix.py OUT.jsonl SPEC...
+      # per-superstep JSON lines land in each cell's .phases.jsonl
+      # (loop_matrix sets CRAWL_PHASE_LOG=<file> itself)
+  python scripts/loop_fit.py /tmp/matrix-cell*.phases.jsonl
+      # with exactly two files (one per parallelism level) it also
+      # prints the modeled N->4N efficiency vs pages/superstep
 """
 
 from __future__ import annotations
@@ -53,28 +56,54 @@ def steps_from_errlog(path: str) -> list[dict]:
     return out
 
 
+def fit_errlog(path: str) -> dict | None:
+    steps = steps_from_errlog(path)
+    if len(steps) < 3:
+        print(f"{path}: {len(steps)} phase-logged supersteps — skip "
+              "(run with CRAWL_PHASE_LOG=1)")
+        return None
+    xs = [float(s["fetched"]) for s in steps]
+    ys = [float(s["secs"]) for s in steps]
+    b, w, r2 = fit(xs, ys)
+    tot = sum(ys)
+    phases: dict[str, float] = {}
+    for s in steps:
+        for k, v in (s.get("phases") or {}).items():
+            phases[k] = phases.get(k, 0.0) + v
+    top = sorted(phases.items(), key=lambda kv: -kv[1])[:6]
+    print(
+        f"{path}\n  steps={len(steps)} pages={int(sum(xs))} "
+        f"loop_sec={tot:.1f}\n  fit: B={b:.2f} s/superstep  "
+        f"w={w * 1e6:.1f} us/page  R2={r2:.3f}\n  phase totals: "
+        + ", ".join(f"{k}={v:.1f}s" for k, v in top)
+    )
+    return {"path": path, "B": b, "w": w, "r2": r2, "steps": len(steps),
+            "pages": sum(xs), "loop_sec": tot}
+
+
 def main() -> None:
-    for path in sys.argv[1:]:
-        steps = steps_from_errlog(path)
-        if len(steps) < 3:
-            print(f"{path}: {len(steps)} phase-logged supersteps — skip "
-                  "(run with CRAWL_PHASE_LOG=1)")
-            continue
-        xs = [float(s["fetched"]) for s in steps]
-        ys = [float(s["secs"]) for s in steps]
-        b, w, r2 = fit(xs, ys)
-        tot = sum(ys)
-        phases: dict[str, float] = {}
-        for s in steps:
-            for k, v in (s.get("phases") or {}).items():
-                phases[k] = phases.get(k, 0.0) + v
-        top = sorted(phases.items(), key=lambda kv: -kv[1])[:6]
+    fits = [f for f in (fit_errlog(p) for p in sys.argv[1:]) if f]
+    # two-level summary: efficiency N→4N as a function of superstep
+    # width. With per-superstep cost T(S) = B + w·S, efficiency at
+    # width S is T_small(S) / (4 · T_big(S)) — the fit turns two noisy
+    # wall-clocks into a model that extrapolates to production widths.
+    if len(fits) == 2:
+        (a, b4) = sorted(fits, key=lambda f: f["w"], reverse=True)
         print(
-            f"{path}\n  steps={len(steps)} pages={int(sum(xs))} "
-            f"loop_sec={tot:.1f}\n  fit: B={b:.2f} s/superstep  "
-            f"w={w * 1e6:.1f} us/page  R2={r2:.3f}\n  phase totals: "
-            + ", ".join(f"{k}={v:.1f}s" for k, v in top)
+            f"\nslope ratio w(small)/w(big) = {a['w'] / b4['w']:.2f} "
+            f"(4.0 = perfect 4x data-plane scaling inside the loop)\n"
+            f"barrier ratio B(big)/B(small) = {b4['B'] / a['B']:.2f} "
+            "(~1.0 = barrier does not grow with parallelism)"
         )
+        print("pages/superstep  ->  modeled N->4N loop efficiency")
+        for s_w in (1e4, 1e5, 1e6, 1e7, 1e8):
+            ta = a["B"] + a["w"] * s_w
+            tb = b4["B"] + b4["w"] * s_w
+            print(f"  {int(s_w):>11,}      {ta / (4 * tb):.3f}")
+
+
+if __name__ == "__main__":
+    main()
 
 
 if __name__ == "__main__":

@@ -103,7 +103,11 @@ def run_cell(
 
     corpus = ensure_corpus(n, n_hosts)
     state = f"/tmp/matrix-state-{cores}"
-    errlog = f"/tmp/matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}-h{n_hosts}.err"
+    cell = f"matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}-h{n_hosts}"
+    errlog = f"/tmp/{cell}.err"
+    # per-superstep records go to a FILE: the driver's stderr is merged
+    # into spark-submit stdout by PythonRunner, so stream capture loses it
+    os.environ["CRAWL_PHASE_LOG"] = f"/tmp/{cell}.phases.jsonl"
     s0, t0 = read_stat()
     res = submit(
         cores,
@@ -131,6 +135,7 @@ def run_cell(
         steal_pct=round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
         ts=time.strftime("%H:%M:%S"),
         errlog=errlog,
+        phase_log=os.environ["CRAWL_PHASE_LOG"],
     )
     return res
 

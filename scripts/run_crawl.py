@@ -136,7 +136,16 @@ def main() -> None:
     summary = eng.run(max_supersteps=args.max_supersteps)
     wall = time.monotonic() - t0
     cpu = _vm_cpu_sec() - c0
-    if os.environ.get("CRAWL_PHASE_LOG"):
+    phase_log = os.environ.get("CRAWL_PHASE_LOG")
+    if phase_log and phase_log != "1":
+        # a path: write per-superstep records there. PythonRunner merges
+        # the driver's stderr into spark-submit's STDOUT, so stream-based
+        # capture silently loses these lines to stdout-pipe consumers —
+        # a file sidesteps the plumbing entirely.
+        with open(phase_log, "w") as fh:
+            for st in summary["steps"]:
+                fh.write(json.dumps(st) + "\n")
+    elif phase_log:
         for st in summary["steps"]:
             print(json.dumps(st), file=sys.stderr)
     print(
