@@ -766,6 +766,11 @@ class CrawlEngine:
             else None
         )
         w = Window.partitionBy("id").orderBy("host", "host_rank", "pos")
+        # partitionless on purpose: seq is a dense auto-increment over
+        # the NEW-category delta of one superstep — a dimension-sized
+        # frame (taxonomy entries, not pages; the left_anti below keeps
+        # only never-seen ids), so the single-task sort is bounded by
+        # catalog growth, never by crawl volume
         wseq = Window.orderBy("host", "host_rank", "pos")
         max_seq = store.manifest["counters"].get("max_cat_seq", 0)
         new_cats = (

@@ -81,8 +81,56 @@ def fit_errlog(path: str) -> dict | None:
             "pages": sum(xs), "loop_sec": tot}
 
 
+def envelope(paths: list[str]) -> dict | None:
+    """Per-superstep best-of across repeated runs of the SAME cell.
+
+    The sandbox's episodic CPU slow-mode strikes at minute scale —
+    single supersteps inside one run can go 2x slow while their
+    neighbors are clean (observed: c16 supersteps both 2.9x faster AND
+    0.85x slower than c4 in one pair). min() per superstep index keeps,
+    for each superstep, the sample from whichever run hit a clean
+    window, which converges to the noise-free profile as runs repeat.
+    """
+    runs = [steps_from_errlog(p) for p in paths]
+    runs = [r for r in runs if len(r) >= 3]
+    if not runs:
+        return None
+    n = min(len(r) for r in runs)
+    xs, ys = [], []
+    for i in range(n):
+        # identical corpus + config → superstep i fetches the same
+        # batch in every run; guard against divergence anyway
+        fetched = {r[i]["fetched"] for r in runs}
+        if len(fetched) != 1:
+            continue
+        xs.append(float(fetched.pop()))
+        ys.append(min(float(r[i]["secs"]) for r in runs))
+    b, w, r2 = fit(xs, ys)
+    print(
+        f"envelope[{len(runs)} runs x {len(xs)} steps] "
+        f"({paths[0]} ...)\n  fit: B={b:.2f} s/superstep  "
+        f"w={w * 1e6:.1f} us/page  R2={r2:.3f}  "
+        f"envelope_loop_sec={sum(ys):.1f}"
+    )
+    return {"path": paths[0], "B": b, "w": w, "r2": r2,
+            "steps": len(xs), "pages": sum(xs), "loop_sec": sum(ys)}
+
+
+def _level_token(path: str) -> str:
+    import re
+
+    m = re.search(r"-c(\d+)-", path)
+    return m.group(1) if m else path
+
+
 def main() -> None:
-    fits = [f for f in (fit_errlog(p) for p in sys.argv[1:]) if f]
+    if sys.argv[1:2] == ["--envelope"]:
+        groups: dict[str, list[str]] = {}
+        for p in sys.argv[2:]:
+            groups.setdefault(_level_token(p), []).append(p)
+        fits = [f for f in (envelope(ps) for ps in groups.values()) if f]
+    else:
+        fits = [f for f in (fit_errlog(p) for p in sys.argv[1:]) if f]
     # two-level summary: efficiency N→4N as a function of superstep
     # width. With per-superstep cost T(S) = B + w·S, efficiency at
     # width S is T_small(S) / (4 · T_big(S)) — the fit turns two noisy
@@ -100,10 +148,6 @@ def main() -> None:
             ta = a["B"] + a["w"] * s_w
             tb = b4["B"] + b4["w"] * s_w
             print(f"  {int(s_w):>11,}      {ta / (4 * tb):.3f}")
-
-
-if __name__ == "__main__":
-    main()
 
 
 if __name__ == "__main__":
