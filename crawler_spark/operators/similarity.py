@@ -74,6 +74,57 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def ann_ivf_duck(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """Exact DuckDB transcription of ``ann_ivf``. The whole pipeline is
+    deterministic (lowest-vec_id codebook, 6-dp-rounded orderings with
+    cid/vec_id tie-breaks), and ``list_dot_product`` reproduces Spark's
+    sequential ``aggregate(zip_with(...))`` fold bit-for-bit (proven by
+    the hash-green brute-force pair), so even the APPROXIMATE path is
+    value-checkable, not just recall-bounded."""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  sqrt(list_dot_product(
+                    list_transform(embedding, x -> x::DOUBLE),
+                    list_transform(embedding, x -> x::DOUBLE))) AS nrm
+           FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+          ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id, v, nrm, cid FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(c.cv, e.v)
+                            / (c.cn * e.nrm), 6) DESC, c.cid) AS rk
+    FROM e CROSS JOIN cents c) WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+      WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, qn, cid FROM (
+    SELECT q.query_id, q.qv, q.qn, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cv)
+                            / (q.qn * c.cn), 6) DESC, c.cid) AS rk
+    FROM q CROSS JOIN cents c) WHERE rk <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cos
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE p.query_id != a.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos, 6) DESC, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id, rk AS rank, round(cos, 4) AS cos_sim
+FROM ranked WHERE rk <= {k}
+"""
+
+
 def ann_ivf(
     spark: SparkSession,
     embeddings: DataFrame,

@@ -560,7 +560,10 @@ _TRAIN: dict[str, Query] = {
         fn=lambda spark, sf_dir: similarity.ann_ivf(
             spark,
             spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        )
+        ),
+        # the approximate path is deterministic end-to-end, so it gets
+        # a value-exact oracle, not just the recall pytest
+        oracle=similarity.ann_ivf_duck(),
     ),
     "ann_ivf_full_probe": Query(
         # IVF with nprobe = n_centroids degenerates to exact search
