@@ -1,0 +1,94 @@
+"""CDX(J) index source: Common Crawl's URL index → frontier seeds.
+
+Common Crawl publishes, alongside the WARC archives, a sharded CDXJ
+index (``cc-index/collections/.../indexes/cdx-*.gz``): one line per
+capture, ``<SURT urlkey> <14-digit timestamp> <JSON attributes>``, with
+the JSON carrying url/mime/status/digest and the WARC file+offset the
+record lives at. At 10^10-URL frontier scale, the index — not the
+archives — is what seeds a crawl: it is ~1% of the archive bytes and
+already de-HTML'd.
+
+Spark shape: ``spark.read.text`` splits the shards line-parallel for
+free (gzip shards = one task per shard, like warc.py); the line parse
+is two ``substring_index`` calls + one ``from_json`` with a declared
+schema — all JVM, zero Python, zero shuffle. Seed extraction on top is
+a filter + projection, so status/mime predicates push into the scan.
+
+Reference analog: the config-driven seed list (the reference starts
+from hard-coded site roots, HZ.Crawler.Common appsettings read in
+DataSpider/Program.cs:20-38); a CDX shard is that seed list at
+Common-Crawl width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# attribute JSON: everything CDXJ guarantees; numbers arrive as JSON
+# strings and are cast after parse (CC writes "status": "200")
+_ATTR_SCHEMA = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string"
+)
+
+CDX_SCHEMA = (
+    "urlkey string, warc_ts timestamp, url string, mime string, "
+    "status int, digest string, length bigint, offset bigint, "
+    "warc_file string, languages string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Directory (or glob) of CDX(J) shard files → one row per capture,
+    CDX_SCHEMA. Malformed lines surface with NULL url rather than
+    failing the scan (never-crash contract, same as the error spill)."""
+    lines = spark.read.text(path)
+    # "<urlkey> <ts> {json}": substring_index is O(1) JVM work per line;
+    # the JSON starts at the first "{"
+    urlkey = F.substring_index(F.col("value"), " ", 1)
+    ts14 = F.substring_index(
+        F.substring_index(F.col("value"), " ", 2), " ", -1
+    )
+    attrs = F.from_json(
+        F.expr("substring(value, instr(value, '{'))"), _ATTR_SCHEMA
+    )
+    return lines.select(
+        urlkey.alias("urlkey"),
+        F.to_timestamp(ts14, "yyyyMMddHHmmss").alias("warc_ts"),
+        attrs["url"].alias("url"),
+        F.coalesce(attrs["mime-detected"], attrs["mime"]).alias("mime"),
+        attrs["status"].cast("int").alias("status"),
+        attrs["digest"].alias("digest"),
+        attrs["length"].cast("bigint").alias("length"),
+        attrs["offset"].cast("bigint").alias("offset"),
+        attrs["filename"].alias("warc_file"),
+        attrs["languages"].alias("languages"),
+    )
+
+
+def cdx_seeds(
+    cdx: DataFrame,
+    canonicalize,
+    mime_prefix: str = "text/html",
+    statuses: tuple[int, ...] = (200,),
+) -> DataFrame:
+    """Frontier seed rows from an index frame: successful HTML captures,
+    canonicalized, one row per url keeping the LATEST capture (the
+    as-of shape — the older captures are history, not frontier). The
+    dedup is one hash aggregation on the canonical url; predicates sit
+    below it so they reach the scan."""
+    ok = cdx.where(
+        F.col("status").isin(*statuses)
+        & F.col("mime").startswith(mime_prefix)
+        & F.col("url").isNotNull()
+    )
+    canon = ok.withColumn("url", canonicalize(F.col("url")))
+    return (
+        canon.groupBy("url")
+        .agg(
+            F.max("warc_ts").alias("last_seen_ts"),
+            F.count("*").alias("n_captures"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""CDX index source: line parse, predicate gating, latest-capture seeds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from crawler_spark.cdx import cdx_seeds, read_cdx
+from crawler_spark.urltools import canonicalize_once_udf
+
+LINES = [
+    # two captures of the same page (same canonical url) — seeds keep
+    # the later one and count both
+    'org,example)/a 20240101000000 {"url": "https://example.org/a", '
+    '"mime": "text/html", "status": "200", "digest": "AAA", '
+    '"length": "1234", "offset": "0", "filename": "w/one.warc.gz"}',
+    'org,example)/a 20240301000000 {"url": "https://EXAMPLE.org/a#frag", '
+    '"mime": "text/html", "status": "200", "digest": "AAB", '
+    '"length": "1250", "offset": "99", "filename": "w/two.warc.gz"}',
+    # mime-detected overrides the served mime
+    'org,example)/b 20240102000000 {"url": "https://example.org/b", '
+    '"mime": "application/octet-stream", "mime-detected": "text/html", '
+    '"status": "200", "digest": "BBB", "length": "10", "offset": "1", '
+    '"filename": "w/one.warc.gz"}',
+    # gated out: 404, and a non-HTML capture
+    'org,example)/c 20240103000000 {"url": "https://example.org/c", '
+    '"mime": "text/html", "status": "404", "digest": "CCC", '
+    '"length": "10", "offset": "2", "filename": "w/one.warc.gz"}',
+    'org,example)/d.jpg 20240104000000 {"url": "https://example.org/d.jpg", '
+    '"mime": "image/jpeg", "status": "200", "digest": "DDD", '
+    '"length": "10", "offset": "3", "filename": "w/one.warc.gz"}',
+    # malformed JSON: must surface as a NULL-url row, not crash the scan
+    "org,example)/e 20240105000000 {broken",
+]
+
+
+def _write(tmp_path):
+    p = tmp_path / "cdx-00000"
+    p.write_text("\n".join(LINES) + "\n")
+    return str(p)
+
+
+def test_read_cdx_parses_all_jvm(spark, tmp_path):
+    df = read_cdx(spark, _write(tmp_path))
+    parsed = [r for r in df.collect() if r.url is not None]
+    assert len(parsed) == 5  # every well-formed line is one capture row
+    rows = {r.urlkey: r for r in parsed}  # 2 captures share /a's key
+    a = rows["org,example)/a"]
+    assert a.status == 200 and a.warc_file in ("w/one.warc.gz", "w/two.warc.gz")
+    assert a.length in (1234, 1250) and isinstance(a.offset, int)
+    assert rows["org,example)/b"].mime == "text/html"  # mime-detected wins
+    assert a.warc_ts.replace(tzinfo=None).year == 2024
+    # malformed line surfaced, not raised
+    bad = [r for r in df.collect() if r.url is None]
+    assert len(bad) == 1 and bad[0].urlkey == "org,example)/e"
+    # the parse is all-JVM: no Python evaluation node in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_cdx_seeds_latest_capture_per_canonical_url(spark, tmp_path):
+    cdx = read_cdx(spark, _write(tmp_path))
+    seeds = {
+        r.url: r
+        for r in cdx_seeds(cdx, canonicalize_once_udf).collect()
+    }
+    # /a canonicalizes both captures (host lowercased, fragment dropped)
+    # to one seed carrying the later ts and both captures counted
+    assert set(seeds) == {"https://example.org/a", "https://example.org/b"}
+    a = seeds["https://example.org/a"]
+    assert a.n_captures == 2
+    assert a.last_seen_ts.replace(tzinfo=None) == dt.datetime(2024, 3, 1)
