@@ -57,9 +57,24 @@ def submit(
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.files.maxPartitionBytes=2097152",
-        "--py-files", pyzip,
-        os.path.join(REPO, "scripts", script),
-    ] + extra
+        # local[] defaults to maxFailures=1: one transient python-worker
+        # crash aborts a 30-minute measurement run. Use the CLUSTER
+        # default (4 attempts) + faulthandler tracebacks.
+        "--conf", "spark.task.maxFailures=4",
+        "--conf", "spark.python.worker.faulthandler.enabled=true",
+        "--conf", "spark.sql.execution.pyspark.udf.faulthandler.enabled=true",
+    ]
+    if os.environ.get("MATRIX_EVENTLOG"):
+        # stage/task-level diagnosis (scripts/parse_eventlog.py): task
+        # skew, max-task share, and driver gaps per job
+        evdir = os.environ["MATRIX_EVENTLOG"]
+        os.makedirs(evdir, exist_ok=True)
+        cmd += [
+            "--conf", "spark.eventLog.enabled=true",
+            "--conf", f"spark.eventLog.dir=file:{evdir}",
+        ]
+    cmd += ["--py-files", pyzip, os.path.join(REPO, "scripts", script)]
+    cmd += extra
     t0 = time.monotonic()
     with open(errlog, "w") as efh:
         out = subprocess.run(
@@ -103,7 +118,13 @@ def run_cell(
 
     corpus = ensure_corpus(n, n_hosts)
     state = f"/tmp/matrix-state-{cores}"
-    cell = f"matrix-cell{idx:02d}-{n}-{min_batch}-c{cores}-h{n_hosts}"
+    # pid-tagged so repeated matrix invocations with identical specs
+    # don't clobber each other's phase files (the envelope fit needs
+    # every run's samples)
+    cell = (
+        f"matrix-{os.getpid()}-cell{idx:02d}-{n}-{min_batch}"
+        f"-c{cores}-h{n_hosts}"
+    )
     errlog = f"/tmp/{cell}.err"
     # per-superstep records go to a FILE: the driver's stderr is merged
     # into spark-submit stdout by PythonRunner, so stream capture loses it

@@ -84,6 +84,12 @@ def submit(cores: int, pyzip: str, script: str, extra: list[str]) -> dict:
         "spark.ui.enabled=false",
         "--conf",
         "spark.sql.files.maxPartitionBytes=2097152",
+        # cluster-default task retries: local[] would abort a whole
+        # measurement run on one transient python-worker crash
+        "--conf",
+        "spark.task.maxFailures=4",
+        "--conf",
+        "spark.python.worker.faulthandler.enabled=true",
         "--py-files",
         pyzip,
         os.path.join(REPO, "scripts", script),
