@@ -138,14 +138,30 @@ class StateStore:
             if schema is None:
                 raise ValueError(f"no deltas and no static schema for {table}")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # Task-count discipline: the bench configs set a small
+        # files.maxPartitionBytes so the (single-file) sandbox corpus
+        # scan parallelizes, but that same setting shreds state-table
+        # re-reads — dozens of small delta files × tiny splits — into
+        # hundreds of confetti tasks per superstep (event-log audit:
+        # 387-task img_cache scans whose scheduling overhead cannot use
+        # 16 cores). coalesce is a narrow cap, shuffle-free, and scales
+        # with the cluster because defaultParallelism does.
+        return self.spark.read.parquet(*paths).coalesce(
+            self.spark.sparkContext.defaultParallelism
+        )
 
     def has_rows(self, table: str) -> bool:
         return bool(self.manifest["tables"][table])
 
     def read_frontier(self) -> DataFrame | None:
         p = self.manifest["frontier"]
-        return self.spark.read.parquet(p) if p else None
+        if p is None:
+            return None
+        # same confetti-task cap as read() — the frontier is re-read
+        # every superstep and its small-split scan must not fragment
+        return self.spark.read.parquet(p).coalesce(
+            self.spark.sparkContext.defaultParallelism
+        )
 
     # -- writes (staged; durable only after commit()) -----------------------
     def write_delta(
