@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "mm_decode_features",
     "graph_pagerank",
     "events_asof_join",
+    "dedup_exact_substring",
 ]
 
 

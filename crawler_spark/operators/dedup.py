@@ -731,3 +731,51 @@ def decontaminate_spark(n: int = 3, threshold: float = 0.5,
 def decontaminate_duck(n: int = 3, threshold: float = 0.5,
                        eval_sources: str = "'src0','src1'") -> str:
     return _decontaminate_body(duck_shingle_sql(n), eval_sources, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Windowed exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499). The
+# paper's suffix-array ExactSubstr is inherently sequential; the
+# distributed equivalent is fixed-width token windows hashed and
+# grouped — any W-token run shared verbatim across documents collides
+# on its window hash. One shuffle on the window hash, skew-safe (a
+# boilerplate window collapses to one group), map-side everything else.
+# Reference analog: none (reference dedups whole images by MD5,
+# HZ.Crawler.DataSpider/BaseSpider.cs:275-287).
+# ---------------------------------------------------------------------------
+
+EXACTSUB_W = 20  # window width (tokens): the paper's 50-token unit
+EXACTSUB_S = 10  # stride; W/2 overlap halves cost, still covers runs
+
+
+def _exactsub_body(toks: str, windows: str) -> str:
+    # sequence/generate_series stop at size-W, so every window is
+    # exactly W tokens — no ragged tail windows to diverge on
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, {windows}
+d AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(d.h) AS n_dup_windows,
+       round(cast(count(d.h) AS double) / count(*), 6) AS dup_frac
+FROM w LEFT JOIN d ON w.h = d.h
+GROUP BY w.doc_id
+"""
+
+
+def exact_substring_spark(w: int = EXACTSUB_W, s: int = EXACTSUB_S) -> str:
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    windows = f"""md5(cast(array_join(slice(toks, p + 1, {w}), ' ') AS binary)) AS h
+      FROM t LATERAL VIEW explode(sequence(0, size(toks) - {w}, {s})) AS p
+      WHERE size(toks) >= {w}),"""
+    return _exactsub_body(toks, windows)
+
+
+def exact_substring_duck(w: int = EXACTSUB_W, s: int = EXACTSUB_S) -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    windows = f"""md5(array_to_string(toks[p + 1:p + {w}], ' ')) AS h
+      FROM t, unnest(generate_series(0, len(toks) - {w}, {s})) AS u(p)
+      WHERE len(toks) >= {w}),"""
+    return _exactsub_body(toks, windows)

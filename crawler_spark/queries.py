@@ -637,6 +637,12 @@ _TRAIN: dict[str, Query] = {
         spark_sql=dedup.decontaminate_spark(),
         oracle=dedup.decontaminate_duck(),
     ),
+    "dedup_exact_substring": Query(
+        # windowed ExactSubstr (Lee et al. 2022): W-token windows hashed
+        # and grouped — one shuffle on the window hash, skew-safe
+        spark_sql=dedup.exact_substring_spark(),
+        oracle=dedup.exact_substring_duck(),
+    ),
     "events_asof_join": Query(
         # as-of join (latest strictly-prior left event per right event)
         # as one shuffle + running window — no pairwise join; the
