@@ -41,7 +41,7 @@ from .extract import (
 )
 from .politeness import politeness_take, robots_allowed
 from .statestore import StateStore
-from .urltools import canonicalize_once_udf, registrable_domain_udf
+from .urltools import canonicalize_expr, registrable_domain_udf
 
 _CKPT_PARTS = 16  # lineage partition granularity (url-hash)
 
@@ -211,7 +211,7 @@ class CrawlEngine:
         cfg = self.cfg
         seeds = self.spark.read.schema(schemas.SEEDS).parquet(self.seeds_path)
         f = (
-            seeds.withColumn("url", canonicalize_once_udf(F.col("url")))
+            seeds.withColumn("url", canonicalize_expr(F.col("url")))
             .filter(F.col("url").isNotNull())
             .withColumn("host", registrable_domain_udf(F.col("url")))
             .withColumn("path", F.format_string("%010d", F.col("seed_order")))
@@ -1016,7 +1016,11 @@ class CrawlEngine:
         # caps real parallelism.)
         succ = succ.coalesce(self.spark.sparkContext.defaultParallelism)
         if cfg.canonicalize_successors:
-            succ = succ.withColumn("url", canonicalize_once_udf(F.col("url"))).filter(
+            # pure-Catalyst canonicalizer (urltools.canonicalize_expr):
+            # stays inside the JVM — no Python-worker round trip in the
+            # per-superstep hot path (round-2 event logs put the pandas
+            # UDF predecessor among the largest non-extract stages)
+            succ = succ.withColumn("url", canonicalize_expr(F.col("url"))).filter(
                 F.col("url").isNotNull()
             )
         # first-wins on priority path per url (oracle: sorted-(path,url)

@@ -186,3 +186,21 @@ def test_stratified_sample_is_map_side_only(spark):
     plan = _plan(all_queries()["sample_stratified"].run(spark, SF_DIR))
     for op in ("Exchange", "Join", "HashAggregate", "Sort"):
         assert op not in plan, f"unexpected {op} in\n{plan}"
+
+
+def test_canonicalize_chain_has_no_python_eval(spark):
+    """Round-2: successor canonicalization is a pure Catalyst expression
+    (urltools.canonicalize_expr) — the per-superstep hot path must not
+    contain an Arrow/Python eval node for it (the bloom probe is the
+    engine's one remaining Arrow stage, and it is not in this chain)."""
+    from crawler_spark.urltools import canonicalize_expr
+
+    df = spark.createDataFrame(
+        [("HTTP://H.Example.COM:80/a/../b//c#f",), (None,)], "url: string"
+    )
+    q = df.select(canonicalize_expr(F.col("url")).alias("url")).filter(
+        F.col("url").isNotNull()
+    )
+    plan = _plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert q.count() == 1
