@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "events_asof_join",
     "dedup_exact_substring",
+    "text_unigram_logprob",
+    "text_gopher_rules",
+    "source_stats",
+    "w3_hopping_window",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -366,3 +366,152 @@ WITH b AS (
   FROM documents)
 SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram language-model quality proxy
+# ---------------------------------------------------------------------------
+# CCNet/RedPajama rank documents by LM perplexity; the deterministic,
+# oracle-able stand-in is a corpus-fit unigram model: p(w) = tf(w)/N
+# over the whole corpus, score = mean negative log-likelihood per
+# token. High NLL = rare-word-heavy (gibberish or niche), low NLL =
+# stopword soup — the pipeline keeps a middle band. Cross-engine float
+# discipline: each token's ln p(w) is rounded to integer MILLINATS
+# first (one libm call on identical doubles), so the per-doc SUM is
+# integer arithmetic — order-independent under shuffle, hash-stable
+# across engines; only the final per-token mean divides.
+# Scale shape: explode -> groupBy(token) with map-side combine for the
+# vocab (vocab is tiny vs corpus — broadcast join back), then one
+# groupBy(doc_id). No pair joins.
+
+def unigram_logprob_spark() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(cast(v.tf AS double) / tot.n) * 1000, 0) AS bigint)
+           AS nll_milli
+  FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(nll_milli) AS sum_nll_milli,
+       round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
+         AS nll_per_token
+FROM scored GROUP BY doc_id
+"""
+
+
+def unigram_logprob_duck() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(cast(v.tf AS double) / tot.n) * 1000, 0) AS bigint)
+           AS nll_milli
+  FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(nll_milli) AS sum_nll_milli,
+       round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
+         AS nll_per_token
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+# The Gopher (Rae et al. 2021, table A1) repetition rules live in
+# text_repetition; these are its document-shape rules, each an integer
+# cross-multiplication so thresholds are exact in both engines:
+#   - word count within [min_words, 100000]
+#   - mean word length within [3, 10] chars
+#   - >= 80% of words contain an alphabetic character
+#   - >= 2 stopword hits (the "ellipsis/hash" symbol rules are vacuous
+#     on this corpus and omitted)
+# Pure map-side projection: scan -> flags, no shuffle at any scale.
+
+def gopher_rules_spark(min_words: int = 50) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {SPARK_WORDS} AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         size(w) AS n_words,
+         aggregate(w, 0, (acc, x) -> acc + length(x)) AS chars_in_words,
+         size(filter(w, x -> x RLIKE '[A-Za-z]')) AS n_alpha,
+         size(filter(w, x -> x IN ({_STOP}))) AS n_stop
+  FROM w)
+SELECT doc_id, n_words,
+       CASE WHEN n_words BETWEEN {min_words} AND 100000
+            THEN 1 ELSE 0 END AS ok_word_count,
+       CASE WHEN chars_in_words >= 3 * n_words
+             AND chars_in_words <= 10 * n_words
+            THEN 1 ELSE 0 END AS ok_mean_word_len,
+       CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END
+         AS ok_alpha_ratio,
+       CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+       CASE WHEN n_words BETWEEN {min_words} AND 100000
+             AND chars_in_words >= 3 * n_words
+             AND chars_in_words <= 10 * n_words
+             AND n_alpha * 10 >= n_words * 8
+             AND n_stop >= 2
+            THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
+def gopher_rules_duck(min_words: int = 50) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) AS chars_in_words,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_filter(w, x -> x IN ({_STOP}))) AS n_stop
+  FROM w)
+SELECT doc_id, n_words,
+       CASE WHEN n_words BETWEEN {min_words} AND 100000
+            THEN 1 ELSE 0 END AS ok_word_count,
+       CASE WHEN chars_in_words >= 3 * n_words
+             AND chars_in_words <= 10 * n_words
+            THEN 1 ELSE 0 END AS ok_mean_word_len,
+       CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END
+         AS ok_alpha_ratio,
+       CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+       CASE WHEN n_words BETWEEN {min_words} AND 100000
+             AND chars_in_words >= 3 * n_words
+             AND chars_in_words <= 10 * n_words
+             AND n_alpha * 10 >= n_words * 8
+             AND n_stop >= 2
+            THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus composition audit: per-source stats
+# ---------------------------------------------------------------------------
+# The "data card" aggregation every training-mix decision starts from:
+# per source, how many documents, languages, bytes, and exact
+# duplicates. One hash aggregation keyed by source (tiny cardinality ->
+# map-side partial agg collapses almost everything before the
+# shuffle); all-integer output.
+
+SOURCE_STATS_SPARK = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+SOURCE_STATS_DUCK = SOURCE_STATS_SPARK

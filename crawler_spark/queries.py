@@ -498,6 +498,93 @@ FROM se GROUP BY user_id, session_id
 """,
 )
 
+_REL["w3_hopping_window"] = Query(
+    # hopping (sliding) window agg — the second Structured-Streaming
+    # window shape after w1's tumbling window: width 10 min, slide
+    # 5 min, every event lands in exactly 2 windows. Spark side uses
+    # the native window(ts, width, slide) operator; the oracle unrolls
+    # the same epoch-aligned assignment (start = floor(t/slide)*slide
+    # - k*slide, k in 0..1). Monetary sum is integer cents so the
+    # aggregate is order-independent under shuffle.
+    spark_sql="""
+SELECT unix_timestamp(window(ts, '10 minutes', '5 minutes').start) AS ws,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(cast(round(value * 100, 0) AS bigint)) AS value_cents
+FROM events
+GROUP BY window(ts, '10 minutes', '5 minutes')
+""",
+    oracle="""
+WITH x AS (
+  SELECT (floor(epoch(ts) / 300)::BIGINT - k.k) * 300 AS ws, e.*
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+SELECT ws,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(cast(round(value * 100, 0) AS bigint)) AS value_cents
+FROM x GROUP BY ws
+""",
+)
+
+# ---------------------------------------------------------------------------
+# web-analytics event operators (funnel, cohort retention)
+# ---------------------------------------------------------------------------
+
+def _funnel_sql(ms) -> str:
+    return f"""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT v.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_stage,
+       {ms('v.t_view')} AS view_ms,
+       {ms('c.t_click')} AS click_ms,
+       {ms('p.t_purchase')} AS purchase_ms
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+_REL["events_funnel"] = Query(
+    # ordered view→click→purchase funnel: each stage's timestamp is the
+    # earliest event at-or-after the prior stage (min-aggregations +
+    # user_id-keyed joins — one shuffle key throughout, co-partitioned;
+    # no window needed). Identical ANSI text on both engines apart
+    # from the epoch-millis function.
+    spark_sql=_funnel_sql(lambda x: f"unix_millis(cast({x} AS timestamp))"),
+    oracle=_funnel_sql(lambda x: f"epoch_ms({x})"),
+)
+
+_RETENTION_SQL = """
+WITH f AS (SELECT user_id, min(cast(ts AS date)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+             cast({DIFF} AS bigint) AS day_offset
+      FROM events e JOIN f ON f.user_id = e.user_id)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM a GROUP BY cohort_day, day_offset
+"""
+
+_REL["events_retention"] = Query(
+    # classic cohort retention triangle: day-0 cohort per user (first
+    # event date), distinct active (user, day_offset) pairs, counts per
+    # (cohort_day, offset). Two hash aggregations + one user_id join —
+    # the broadcast-able side is the per-user cohort table.
+    spark_sql=_RETENTION_SQL.format(
+        DIFF="datediff(cast(e.ts AS date), f.cohort_day)"
+    ),
+    oracle=_RETENTION_SQL.format(
+        DIFF="date_diff('day', f.cohort_day, cast(e.ts AS date))"
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -618,6 +705,26 @@ _TRAIN: dict[str, Query] = {
     ),
     "text_pii_stats": Query(
         spark_sql=textstats.PII_SPARK, oracle=textstats.PII_DUCK
+    ),
+    "text_unigram_logprob": Query(
+        # CCNet-style unigram-LM quality proxy: corpus-fit p(w), per-doc
+        # mean NLL/token; per-token millinat rounding keeps the sum
+        # integer (order-independent, hash-stable cross-engine)
+        spark_sql=textstats.unigram_logprob_spark(),
+        oracle=textstats.unigram_logprob_duck(),
+    ),
+    "text_gopher_rules": Query(
+        # Gopher document-shape quality rules (word count, mean word
+        # length, alpha ratio, stopword floor) as exact integer
+        # cross-multiplications; map-side only
+        spark_sql=textstats.gopher_rules_spark(),
+        oracle=textstats.gopher_rules_duck(),
+    ),
+    "source_stats": Query(
+        # per-source corpus composition audit (docs, langs, bytes,
+        # exact-dup count) — the "data card" aggregation
+        spark_sql=textstats.SOURCE_STATS_SPARK,
+        oracle=textstats.SOURCE_STATS_DUCK,
     ),
     "text_vocab_topk": Query(
         # corpus-wide token frequency top-k (tokenizer-vocab /

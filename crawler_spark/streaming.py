@@ -62,6 +62,32 @@ def windowed_event_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def hopping_event_agg(stream: DataFrame) -> DataFrame:
+    """Watermarked hopping-window (10 min width / 5 min slide) counts —
+    the streaming twin of the ``w3_hopping_window`` batch query; every
+    event lands in exactly two overlapping windows. Monetary sums are
+    integer cents so results are order-independent across micro-batch
+    boundaries. (The batch twin also reports ``n_users``; streaming
+    aggregation cannot express exact count-distinct, so the streaming
+    surface carries the distributive aggregates only.)"""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("ws"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def _update(key, pdfs, state: GroupState):  # pragma: no cover - executor
     n, v = (state.get if state.exists else (0, 0.0))
     for pdf in pdfs:

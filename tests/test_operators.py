@@ -139,6 +139,49 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_hopping_window_matches_batch(spark, tmp_path):
+    """§2.9: the hopping-window (10 min / 5 min slide) streaming agg
+    must produce the batch w3_hopping_window result."""
+    import os
+    import shutil
+
+    from crawler_spark.streaming import hopping_event_agg
+
+    src = str(tmp_path / "events_hop")
+    os.makedirs(src, exist_ok=True)
+    p = f"{SF_DIR}/events.parquet"
+    if os.path.isdir(p):
+        shutil.copytree(p, src, dirs_exist_ok=True)
+    else:
+        shutil.copy(p, os.path.join(src, "events.parquet"))
+
+    batch_df = spark.read.parquet(p)
+    stream = hopping_event_agg(
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("w3_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.ws: (r.n_events, r.value_cents)
+            for r in spark.sql("SELECT * FROM w3_stream").collect()
+        }
+    finally:
+        q.stop()
+    from crawler_spark.queries import all_queries
+
+    exp = {
+        r.ws: (r.n_events, r.value_cents)
+        for r in all_queries()["w3_hopping_window"].run(spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """§2.9 custom stateful operator: applyInPandasWithState running
     totals over the events stream must converge to the batch groupBy."""
