@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "w3_hopping_window",
     "events_funnel",
     "events_retention",
+    "crawl_recrawl_priority",
 ]
 
 

@@ -585,6 +585,52 @@ _REL["events_retention"] = Query(
     ),
 )
 
+def _recrawl_sql(ms: str, jget: str) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, {ms} AS ms, {jget} AS ver
+  FROM events),
+d AS (
+  SELECT user_id, ms, ver,
+         lag(ver) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+  FROM o),
+s AS (
+  SELECT user_id,
+         count(*) AS n_obs,
+         sum(CASE WHEN prev IS NOT NULL AND ver IS DISTINCT FROM prev
+                  THEN 1 ELSE 0 END) AS n_changes,
+         max(ms) - min(ms) AS span_ms,
+         max(ms) AS last_ms
+  FROM d GROUP BY user_id),
+now AS (SELECT max(ms) AS now_ms FROM o)
+SELECT user_id, n_obs, n_changes, span_ms,
+       now_ms - last_ms AS staleness_ms,
+       CASE WHEN span_ms > 0 AND n_changes > 0
+            THEN round(cast(now_ms - last_ms AS double) * n_changes
+                       / span_ms, 4)
+            ELSE cast(0.0 AS double) END AS priority
+FROM s CROSS JOIN now
+"""
+
+
+_REL["crawl_recrawl_priority"] = Query(
+    # Recrawl scheduling (Cho & Garcia-Molina freshness policy): per
+    # page (user_id stands in for url; the JSON `k` field is the
+    # observed content version), estimate the change rate from the
+    # observation history (lag over (ts, event_id) — deterministic
+    # tie-break) and rank by staleness × change-rate. This is the
+    # policy that feeds o1's stale-first seed ordering in a production
+    # refetch loop. One user_id-keyed window + one groupBy — single
+    # shuffle key; the global `now` is a 1-row broadcast cross join.
+    spark_sql=_recrawl_sql(
+        "unix_millis(cast(ts AS timestamp))",
+        "get_json_object(props, '$.k')",
+    ),
+    oracle=_recrawl_sql(
+        "epoch_ms(ts)", "json_extract_string(props, '$.k')"
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------

@@ -139,6 +139,113 @@ def read_warc(
     return files.mapInPandas(_parse, schema=WARC_SCHEMA)
 
 
+WRITE_MANIFEST_SCHEMA = "warc_file string, n_records long, n_bytes long"
+
+_CRLF = b"\r\n"
+
+
+def _warc_record(url: str, ts, html: bytes) -> bytes:
+    """Compose one WARC/1.0 response record (ISO 28500). The payload is
+    a minimal HTTP/1.1 200 envelope around the entity body, which is
+    exactly what ``parse_warc_bytes`` strips back off — the pair is a
+    lossless round trip for (url, warc_ts, html). The record id is a
+    deterministic UUIDv4-shaped digest of (url, ts) so identical input
+    produces byte-identical archives (resumable sinks re-emit the same
+    bytes, and tests can golden them)."""
+    import hashlib
+
+    body = html or b""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        + _CRLF
+        + body
+    )
+    if ts is not None:
+        iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    else:
+        iso = "1970-01-01T00:00:00Z"
+    digest = hashlib.md5(url.encode("utf-8") + b"\x00" + iso.encode()).hexdigest()
+    rid = f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}-{digest[16:20]}-{digest[20:32]}>"
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: " + rid.encode() + _CRLF
+        + b"WARC-Date: " + iso.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + http + _CRLF + _CRLF
+
+
+def _gzip_member(record: bytes) -> bytes:
+    """One gzip member per record (the Common Crawl convention, so a
+    reader can seek to any record independently), mtime pinned to 0 for
+    byte-determinism."""
+    import gzip
+    import io as _io
+
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def write_warc(df: DataFrame, out_dir: str, n_files: int | None = None) -> DataFrame:
+    """Pages-shaped DataFrame ``(url, warc_ts, html, ...)`` → a directory
+    of ``.warc.gz`` archives, one file per task (the inverse of
+    :func:`read_warc`; ``read_warc(write_warc(df)) == df`` on
+    (url, warc_ts, html) up to second-truncated timestamps).
+
+    Scale shape: each task streams its partition into ONE archive —
+    the same file-per-task layout Common Crawl itself uses, so a
+    100 TB export is 10^5 independent tasks with no shuffle beyond the
+    optional ``repartition``. Rows are sorted by url inside each file
+    only to make output deterministic for a fixed partitioning.
+    Returns the written-file manifest as a DataFrame (path, record and
+    byte counts) — an action has NOT yet run; the caller materializes.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select("url", "warc_ts", "html")
+    if n_files is not None:
+        src = src.repartition(n_files, "url")
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            "url", kind="mergesort"
+        )
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(path, "wb") as fh:
+            for _, r in pdf.iterrows():
+                fh.write(
+                    _gzip_member(
+                        _warc_record(r["url"], r["warc_ts"], r["html"])
+                    )
+                )
+                n += 1
+        yield pd.DataFrame(
+            {
+                "warc_file": [path],
+                "n_records": [n],
+                "n_bytes": [os.path.getsize(path)],
+            }
+        )
+
+    return src.mapInPandas(_write, schema=WRITE_MANIFEST_SCHEMA)
+
+
 def pages_from_warc(spark, path: str) -> DataFrame:
     """WARC archives → the engine's pages-table shape
     ``(url, warc_ts, html, text, lang)`` (text/lang null: extraction is

@@ -195,3 +195,51 @@ def test_golden_crawl_from_warc_roundtrip(spark, smoke_dir, tmp_path_factory):
     assert summary["pages_fetched"] == 303
     assert summary["supersteps"] == 4
     assert summary["frontier_rows"] == 0
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """write_warc is the inverse of read_warc: (url, warc_ts, html)
+    survive a Spark-side export → re-ingest cycle exactly."""
+    from datetime import datetime
+
+    from crawler_spark.warc import write_warc
+
+    rows = [
+        (f"https://h{i % 3}.test/p{i}", datetime(2025, 3, 1, 12, 30, i), f"<html><p>doc {i} 中文</p></html>".encode())
+        for i in range(17)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "export")
+    manifest = write_warc(df, out, n_files=4).collect()
+    assert sum(m.n_records for m in manifest) == 17
+    assert all(m.warc_file.endswith(".warc.gz") for m in manifest)
+
+    back = read_warc(spark, out).select("url", "warc_ts", "html").collect()
+    exp = {(u, ts, h) for u, ts, h in rows}
+    got = {(r.url, r.warc_ts, bytes(r.html)) for r in back}
+    assert got == exp
+
+
+def test_write_warc_deterministic_bytes(spark, tmp_path):
+    """Identical input + partitioning → byte-identical archives (gzip
+    mtime pinned, urls sorted per file, digest-derived record ids)."""
+    from datetime import datetime
+
+    from crawler_spark.warc import write_warc
+
+    rows = [
+        (f"https://d.test/p{i}", datetime(2025, 1, 1, 0, 0, i), b"<p>x</p>")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / tag)
+        write_warc(df, out, n_files=2).collect()
+        import glob
+
+        blobs = b"".join(
+            open(p, "rb").read() for p in sorted(glob.glob(out + "/*.warc.gz"))
+        )
+        outs.append(blobs)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
