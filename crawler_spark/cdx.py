@@ -92,3 +92,72 @@ def cdx_seeds(
             F.count("*").alias("n_captures"),
         )
     )
+
+
+def surt_urlkey(url):
+    """SURT-style urlkey (the CDX sort key) in pure Catalyst
+    expressions: lowercase, scheme dropped, leading ``www.`` stripped,
+    host labels reversed and comma-joined, query params sorted —
+    ``https://WWW.Example.com/A/b?b=2&a=1`` →
+    ``com,example)/a/b?a=1&b=2``. Simplified vs java SURT (no port /
+    session-param special cases), documented and stable."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.lower(F.parse_url(url, F.lit("QUERY")))
+    qpart = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(rev, F.lit(")"), path, qpart)
+
+
+def write_cdx(df: DataFrame, out_dir: str, n_shards: int = 1) -> None:
+    """Captures frame ``(url, warc_ts [, mime, status, digest, length,
+    offset, warc_file])`` → CDXJ shard files (the inverse of
+    :func:`read_cdx`; missing attribute columns are emitted as NULL and
+    omitted from the JSON, matching CC's sparse lines).
+
+    Scale shape: ``repartitionByRange(urlkey)`` + ``sortWithinPartitions``
+    reproduces Common Crawl's own index layout — globally range-sharded,
+    sorted within shard, so a reader can binary-search a shard and
+    prefix-scan a domain. One range shuffle, then a straight text write;
+    every expression is JVM-side."""
+    cols = {c.lower() for c in df.columns}
+
+    def attr(name: str, typ: str = "string"):
+        # CC writes every attribute as a JSON string ("status": "200")
+        if name in cols:
+            return F.col(name).cast("string").alias(name)
+        return F.lit(None).cast("string").alias(name)
+
+    attrs = F.to_json(
+        F.struct(
+            F.col("url").cast("string").alias("url"),
+            attr("mime"),
+            attr("status"),
+            attr("digest"),
+            attr("length"),
+            attr("offset"),
+            F.col("warc_file").cast("string").alias("filename")
+            if "warc_file" in cols
+            else F.lit(None).cast("string").alias("filename"),
+        )
+    )
+    line = F.concat_ws(
+        " ",
+        surt_urlkey(F.col("url")),
+        F.date_format("warc_ts", "yyyyMMddHHmmss"),
+        attrs,
+    )
+    out = (
+        df.select(
+            surt_urlkey(F.col("url")).alias("urlkey"),
+            line.alias("value"),
+        )
+        .repartitionByRange(n_shards, "urlkey")
+        .sortWithinPartitions("urlkey")
+        .select("value")
+    )
+    out.write.mode("overwrite").text(out_dir)

@@ -119,7 +119,7 @@ def envelope(paths: list[str]) -> dict | None:
 def _level_token(path: str) -> str:
     import re
 
-    m = re.search(r"-c(\d+)-", path)
+    m = re.search(r"-c([0-9]+(?:x[0-9]+)?)-", path)
     return m.group(1) if m else path
 
 

@@ -69,3 +69,68 @@ def test_cdx_seeds_latest_capture_per_canonical_url(spark, tmp_path):
     a = seeds["https://example.org/a"]
     assert a.n_captures == 2
     assert a.last_seen_ts.replace(tzinfo=None) == dt.datetime(2024, 3, 1)
+
+
+
+def test_write_cdx_roundtrip(spark, tmp_path):
+    """write_cdx is the inverse of read_cdx: captures survive the
+    export → re-ingest cycle, shards are globally range-sorted, and the
+    urlkey matches the documented SURT form."""
+    import glob
+
+    from crawler_spark.cdx import write_cdx
+
+    rows = [
+        (
+            "https://WWW.Example.com/A/b?b=2&a=1",
+            dt.datetime(2025, 3, 1, 12, 0, 0),
+            "text/html",
+            200,
+            "sha1:AAAA",
+            1234,
+            567,
+            "crawl-00.warc.gz",
+        ),
+        (
+            "https://news.site.org/x",
+            dt.datetime(2025, 3, 2, 1, 2, 3),
+            "text/html",
+            301,
+            "sha1:BBBB",
+            99,
+            0,
+            "crawl-01.warc.gz",
+        ),
+        (
+            "http://a.test/p",
+            dt.datetime(2025, 3, 3, 0, 0, 0),
+            "application/pdf",
+            200,
+            "sha1:CCCC",
+            5,
+            1,
+            "crawl-02.warc.gz",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, mime string, status int, "
+        "digest string, length bigint, offset bigint, warc_file string",
+    )
+    out = str(tmp_path / "cdx")
+    write_cdx(df, out, n_shards=2)
+
+    back = read_cdx(spark, out)
+    got = {
+        (r.url, r.warc_ts, r.mime, r.status, r.digest, r.length, r.offset, r.warc_file)
+        for r in back.collect()
+    }
+    assert got == set(rows)
+
+    # urlkey form + per-shard sortedness
+    keys = {r.url: r.urlkey for r in back.collect()}
+    assert keys["https://WWW.Example.com/A/b?b=2&a=1"] == "com,example)/a/b?a=1&b=2"
+    assert keys["https://news.site.org/x"] == "org,site,news)/x"
+    for shard in glob.glob(out + "/part-*"):
+        lines = [l.split(" ", 1)[0] for l in open(shard)]
+        assert lines == sorted(lines)
