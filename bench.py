@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "crawl_recrawl_priority",
+    "crawl_snapshot_diff",
 ]
 
 

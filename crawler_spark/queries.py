@@ -631,6 +631,48 @@ _REL["crawl_recrawl_priority"] = Query(
     ),
 )
 
+def _snapshot_diff_sql(ms: str, jget: str) -> str:
+    return f"""
+WITH m AS (SELECT user_id, event_id, {ms} AS ms, {jget} AS ver
+           FROM events),
+b AS (SELECT cast(floor((min(ms) + max(ms)) / 2.0) AS bigint) AS mid
+      FROM m),
+e AS (SELECT user_id, ms, event_id, ver,
+             CASE WHEN ms < b.mid THEN 0 ELSE 1 END AS ep
+      FROM m CROSS JOIN b),
+r AS (SELECT user_id, ep, ver,
+             row_number() OVER (PARTITION BY user_id, ep
+                                ORDER BY ms DESC, event_id DESC) AS rn
+      FROM e),
+olda AS (SELECT user_id, ver FROM r WHERE ep = 0 AND rn = 1),
+newb AS (SELECT user_id, ver FROM r WHERE ep = 1 AND rn = 1)
+SELECT coalesce(olda.user_id, newb.user_id) AS user_id,
+       CASE WHEN olda.user_id IS NULL THEN 'new'
+            WHEN newb.user_id IS NULL THEN 'gone'
+            WHEN olda.ver IS DISTINCT FROM newb.ver THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       olda.ver AS ver_a,
+       newb.ver AS ver_b
+FROM olda FULL OUTER JOIN newb ON olda.user_id = newb.user_id
+"""
+
+
+_REL["crawl_snapshot_diff"] = Query(
+    # Snapshot diffing — what changed between two crawl epochs (the
+    # CDX-index diff a recrawl pipeline starts from): latest observed
+    # content version per page in each half of the observation window,
+    # full-outer-joined into new/gone/changed/unchanged. One window +
+    # one co-partitioned join, both keyed on the page id — single
+    # shuffle key end to end; the epoch midpoint is a 1-row broadcast.
+    spark_sql=_snapshot_diff_sql(
+        "unix_millis(cast(ts AS timestamp))",
+        "get_json_object(props, '$.k')",
+    ),
+    oracle=_snapshot_diff_sql(
+        "epoch_ms(ts)", "json_extract_string(props, '$.k')"
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
