@@ -403,6 +403,35 @@ FROM scored GROUP BY doc_id
 """
 
 
+def unigram_logprob_views_spark() -> tuple[list[tuple[str, str]], str]:
+    """Cached-view twin of unigram_logprob_spark: Spark inlines the
+    ``toks`` CTE at both references (vocab build + scoring join), which
+    re-explodes the whole corpus twice; the checkpointed view evaluates
+    the explode once. The published pure-SQL form stays the spec."""
+    views = [
+        (
+            "ulp_toks_v",
+            f"SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents",
+        )
+    ]
+    final = """
+WITH vocab AS (SELECT token, count(*) AS tf FROM ulp_toks_v GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(cast(v.tf AS double) / tot.n) * 1000, 0) AS bigint)
+           AS nll_milli
+  FROM ulp_toks_v t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(nll_milli) AS sum_nll_milli,
+       round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
+         AS nll_per_token
+FROM scored GROUP BY doc_id
+"""
+    return views, final
+
+
 def unigram_logprob_duck() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),

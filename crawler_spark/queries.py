@@ -797,8 +797,11 @@ _TRAIN: dict[str, Query] = {
     "text_unigram_logprob": Query(
         # CCNet-style unigram-LM quality proxy: corpus-fit p(w), per-doc
         # mean NLL/token; per-token millinat rounding keeps the sum
-        # integer (order-independent, hash-stable cross-engine)
-        spark_sql=textstats.unigram_logprob_spark(),
+        # integer (order-independent, hash-stable cross-engine). The
+        # exploded token relation is evaluated ONCE behind a view
+        # (Spark inlines CTEs — the pure-SQL form scans the corpus
+        # twice); vocab broadcasts back (plan-audited).
+        fn=_views_fn(*textstats.unigram_logprob_views_spark()),
         oracle=textstats.unigram_logprob_duck(),
     ),
     "text_gopher_rules": Query(

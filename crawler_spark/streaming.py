@@ -88,6 +88,33 @@ def hopping_event_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_event_agg(stream: DataFrame) -> DataFrame:
+    """Native ``session_window`` sessionization (gap 30 min) — the
+    Structured-Streaming twin of the w2 batch sessionize query. Append
+    mode: a session row is emitted once the watermark passes its close,
+    so a bounded replay needs one trailing event to flush the tail
+    (see the parity test). Gap semantics match w2's strict ``> 30 min``
+    split except at an exact-30-minute boundary (w2 merges, Spark's
+    half-open window does not) — unobservable on microsecond data."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("session_window.start")).alias(
+                "session_start_ms"
+            ),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def _update(key, pdfs, state: GroupState):  # pragma: no cover - executor
     n, v = (state.get if state.exists else (0, 0.0))
     for pdf in pdfs:

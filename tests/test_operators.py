@@ -182,6 +182,78 @@ def test_streaming_hopping_window_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_session_window_matches_batch_w2(spark, tmp_path):
+    """§2.9: native session_window streaming sessionization must
+    reproduce the batch w2 sessions (same starts, counts, sums). A
+    far-future sentinel event advances the global watermark so every
+    real session closes and is emitted in append mode."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming import sessionized_event_agg
+
+    src = str(tmp_path / "events_sess")
+    os.makedirs(src, exist_ok=True)
+    p = f"{SF_DIR}/events.parquet"
+    if os.path.isdir(p):
+        shutil.copytree(p, src, dirs_exist_ok=True)
+    else:
+        shutil.copy(p, os.path.join(src, "events.parquet"))
+
+    batch_df = spark.read.parquet(p)
+    real_max_ms = batch_df.agg(
+        F.unix_millis(F.max("ts").cast("timestamp"))
+    ).collect()[0][0]
+
+    stream = sessionized_event_agg(
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("w2_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # flush the tail: one sentinel event 2h past the end pushes the
+        # watermark beyond every real session's close
+        row = batch_df.orderBy(F.col("ts").desc()).limit(1).collect()[0]
+        import datetime as _dt
+
+        sent_row = [
+            (
+                10**9,
+                row.ts + _dt.timedelta(hours=2),
+                -1,
+                "sentinel",
+                0.0,
+                "{}",
+            )
+        ]
+        spark.createDataFrame(sent_row, batch_df.schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start_ms): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM w2_stream").collect()
+            if r.session_start_ms <= real_max_ms and r.user_id != -1
+        }
+    finally:
+        q.stop()
+
+    from crawler_spark.queries import all_queries
+
+    exp = {
+        (r.user_id, r.session_start_ms): (r.n_events, r.total_value)
+        for r in all_queries()["w2_sessionize"].run(spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """§2.9 custom stateful operator: applyInPandasWithState running
     totals over the events stream must converge to the batch groupBy."""
