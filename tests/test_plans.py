@@ -204,3 +204,46 @@ def test_canonicalize_chain_has_no_python_eval(spark):
     plan = _plan(q)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert q.count() == 1
+
+
+def test_unigram_logprob_vocab_broadcasts(spark):
+    """The corpus-fit vocab must broadcast back onto the token stream
+    (a shuffle join would re-shuffle the whole exploded corpus); the
+    only nested-loop join allowed is the 1-row total broadcast."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["text_unigram_logprob"].run(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_uses_window_group_limit(spark):
+    """The latest-per-(page, epoch) rank must push down as
+    WindowGroupLimit (top-1 per group computed pre-shuffle), not a full
+    window sort of every observation."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["crawl_snapshot_diff"].run(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_stage_joins_are_hash_joins(spark):
+    """Every funnel join is an equi-join on user_id (hash join);
+    nothing in the plan may degrade to a nested-loop product."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["events_funnel"].run(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_rules_map_side_only(spark):
+    """Document-shape rules are a pure projection: no exchange, join,
+    aggregate, or sort anywhere."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["text_gopher_rules"].run(spark, SF_DIR))
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, f"unexpected {op} in\n{plan}"
