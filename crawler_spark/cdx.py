@@ -46,17 +46,24 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     failing the scan (never-crash contract, same as the error spill)."""
     lines = spark.read.text(path)
     # "<urlkey> <ts> {json}": substring_index is O(1) JVM work per line;
-    # the JSON starts at the first "{"
+    # the JSON block is everything after the SECOND space (an urlkey may
+    # itself contain "{" — e.g. a brace in a url path — so scanning for
+    # the first "{" would start the parse inside the key)
     urlkey = F.substring_index(F.col("value"), " ", 1)
     ts14 = F.substring_index(
         F.substring_index(F.col("value"), " ", 2), " ", -1
     )
     attrs = F.from_json(
-        F.expr("substring(value, instr(value, '{'))"), _ATTR_SCHEMA
+        F.expr(
+            "substring(value, length(substring_index(value, ' ', 2)) + 2)"
+        ),
+        _ATTR_SCHEMA,
     )
     return lines.select(
         urlkey.alias("urlkey"),
-        F.to_timestamp(ts14, "yyyyMMddHHmmss").alias("warc_ts"),
+        # try_: a malformed stamp (or the writer's all-zero NULL
+        # sentinel) reads back as NULL instead of failing the scan
+        F.try_to_timestamp(ts14, F.lit("yyyyMMddHHmmss")).alias("warc_ts"),
         attrs["url"].alias("url"),
         F.coalesce(attrs["mime-detected"], attrs["mime"]).alias("mime"),
         attrs["status"].cast("int").alias("status"),
@@ -100,12 +107,15 @@ def surt_urlkey(url):
     host labels reversed and comma-joined, query params sorted —
     ``https://WWW.Example.com/A/b?b=2&a=1`` →
     ``com,example)/a/b?a=1&b=2``. Simplified vs java SURT (no port /
-    session-param special cases), documented and stable."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    session-param special cases), documented and stable. Uses
+    ``try_parse_url`` so a URL java.net.URI rejects (e.g. a raw brace
+    in the path) yields NULL instead of failing the stage — the writer
+    falls back to the lowercased raw url as the sort key."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     host = F.regexp_replace(host, r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
-    query = F.lower(F.parse_url(url, F.lit("QUERY")))
+    path = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.lower(F.try_parse_url(url, F.lit("QUERY")))
     qpart = F.when(
         query.isNotNull() & (query != ""),
         F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
@@ -126,7 +136,7 @@ def write_cdx(df: DataFrame, out_dir: str, n_shards: int = 1) -> None:
     every expression is JVM-side."""
     cols = {c.lower() for c in df.columns}
 
-    def attr(name: str, typ: str = "string"):
+    def attr(name: str):
         # CC writes every attribute as a JSON string ("status": "200")
         if name in cols:
             return F.col(name).cast("string").alias(name)
@@ -145,17 +155,24 @@ def write_cdx(df: DataFrame, out_dir: str, n_shards: int = 1) -> None:
             else F.lit(None).cast("string").alias("filename"),
         )
     )
+    # concat_ws silently DROPS null fields, which would shift the line's
+    # columns and corrupt every row to the right — both the key and the
+    # timestamp must therefore be made non-null: an unparseable url
+    # falls back to its lowercased raw form as the sort key, and a NULL
+    # warc_ts becomes the all-zero 14-digit stamp (to_timestamp parses
+    # it back to NULL — round-trip preserved).
+    key = F.coalesce(surt_urlkey(F.col("url")), F.lower(F.col("url")))
     line = F.concat_ws(
         " ",
-        surt_urlkey(F.col("url")),
-        F.date_format("warc_ts", "yyyyMMddHHmmss"),
+        key,
+        F.coalesce(
+            F.date_format("warc_ts", "yyyyMMddHHmmss"),
+            F.lit("00000000000000"),
+        ),
         attrs,
     )
     out = (
-        df.select(
-            surt_urlkey(F.col("url")).alias("urlkey"),
-            line.alias("value"),
-        )
+        df.select(key.alias("urlkey"), line.alias("value"))
         .repartitionByRange(n_shards, "urlkey")
         .sortWithinPartitions("urlkey")
         .select("value")

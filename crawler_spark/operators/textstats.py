@@ -499,7 +499,10 @@ WITH w AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
 m AS (
   SELECT doc_id,
          len(w) AS n_words,
-         list_sum(list_transform(w, x -> length(x))) AS chars_in_words,
+         -- DuckDB list_sum([]) is NULL where Spark's aggregate(w,0,..)
+         -- is 0: coalesce so zero-word docs agree across engines
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+           AS chars_in_words,
          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
            AS n_alpha,
          len(list_filter(w, x -> x IN ({_STOP}))) AS n_stop
@@ -537,7 +540,7 @@ SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        sum(n_chars) AS total_chars,
-       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+       count(text) - count(DISTINCT md5(text)) AS n_dup_docs,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY source

@@ -162,7 +162,8 @@ def _warc_record(url: str, ts, html: bytes) -> bytes:
         + _CRLF
         + body
     )
-    if ts is not None:
+    # mapInPandas delivers NULL timestamps as pd.NaT (never None)
+    if ts is not None and not pd.isna(ts):
         iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     else:
         iso = "1970-01-01T00:00:00Z"
@@ -203,38 +204,61 @@ def write_warc(df: DataFrame, out_dir: str, n_files: int | None = None) -> DataF
     Scale shape: each task streams its partition into ONE archive —
     the same file-per-task layout Common Crawl itself uses, so a
     100 TB export is 10^5 independent tasks with no shuffle beyond the
-    optional ``repartition``. Rows are sorted by url inside each file
-    only to make output deterministic for a fixed partitioning.
+    optional ``repartition``. Rows are sorted by url BEFORE the task
+    (``sortWithinPartitions``) so the writer streams batch-by-batch at
+    one-Arrow-batch memory, and output stays deterministic for a fixed
+    partitioning. Overwrite semantics: the target directory is cleared
+    first (stale part files from a previous wider export must not
+    survive), and each archive is written to a temp name and renamed
+    at task end so a killed task never leaves a truncated archive at
+    the final path. Local-filesystem sink: out_dir must be a path every
+    executor can write (shared FS on a real cluster).
     Returns the written-file manifest as a DataFrame (path, record and
     byte counts) — an action has NOT yet run; the caller materializes.
     """
     import os
+    import shutil
 
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     src = df.select("url", "warc_ts", "html")
     if n_files is not None:
         src = src.repartition(n_files, "url")
+    src = src.sortWithinPartitions("url")
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        frames = [f for f in batches if len(f)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True).sort_values(
-            "url", kind="mergesort"
-        )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
-        with open(path, "wb") as fh:
-            for _, r in pdf.iterrows():
-                fh.write(
-                    _gzip_member(
-                        _warc_record(r["url"], r["warc_ts"], r["html"])
+        fh = None
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if fh is None:
+                    fh = open(tmp, "wb")
+                for _, r in pdf.iterrows():
+                    fh.write(
+                        _gzip_member(
+                            _warc_record(r["url"], r["warc_ts"], r["html"])
+                        )
                     )
-                )
-                n += 1
+                    n += 1
+            if fh is None:
+                return
+            fh.close()
+            fh = None
+            os.replace(tmp, path)
+        finally:
+            if fh is not None:
+                fh.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pd.DataFrame(
             {
                 "warc_file": [path],

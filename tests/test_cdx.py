@@ -134,3 +134,32 @@ def test_write_cdx_roundtrip(spark, tmp_path):
     for shard in glob.glob(out + "/part-*"):
         lines = [l.split(" ", 1)[0] for l in open(shard)]
         assert lines == sorted(lines)
+
+
+def test_write_cdx_brace_urlkey_and_null_ts(spark, tmp_path):
+    """A '{' inside the url path must not derail the reader's JSON
+    split (it parses after the second space, not at the first brace),
+    and NULL warc_ts must round-trip as NULL without shifting columns."""
+    from crawler_spark.cdx import write_cdx
+
+    rows = [
+        ("https://ex.test/a{b}", dt.datetime(2025, 3, 1, 12, 0, 0),
+         "text/html", 200, "sha1:A", 10, 0, "w0.warc.gz"),
+        ("https://ex.test/c", None,
+         "text/html", 200, "sha1:B", 11, 5, "w1.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, mime string, status int, "
+        "digest string, length bigint, offset bigint, warc_file string",
+    )
+    out = str(tmp_path / "cdx2")
+    write_cdx(df, out)
+    back = {r.url: (r.warc_ts, r.urlkey, r.status) for r in
+            read_cdx(spark, out).collect()}
+    assert back["https://ex.test/a{b}"][0] == dt.datetime(2025, 3, 1, 12, 0, 0)
+    # java.net.URI rejects the raw brace → surt is NULL → the writer's
+    # fallback key is the lowercased raw url, and the line still parses
+    assert back["https://ex.test/a{b}"][1] == "https://ex.test/a{b}"
+    assert back["https://ex.test/c"][0] is None
+    assert back["https://ex.test/c"][2] == 200

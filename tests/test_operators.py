@@ -320,3 +320,40 @@ def test_connected_components_chain_and_clusters(spark):
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 31}
+
+
+def test_gopher_and_source_stats_null_and_empty_text_parity(spark, tmp_path):
+    """Cross-engine edge cases the sf corpora never hit: a zero-word
+    document (DuckDB list_sum([]) is NULL, Spark's fold is 0) and NULL
+    text (count(*) vs count(text) in the dup audit) must agree."""
+    import duckdb
+
+    from crawler_spark.operators import textstats
+
+    rows = [
+        (1, "the quick brown fox and the hound of it on a to is that", "en", "s0", 56),
+        (2, "", "en", "s0", 0),                      # zero words
+        (3, None, "en", "s0", None),                 # NULL text
+        (4, "the quick brown fox and the hound of it on a to is that", "en", "s0", 56),  # exact dup of 1
+        (5, "!!! ???", "und", "s1", 7),              # words with no alpha
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(p)
+    sdocs = spark.read.parquet(p)
+    sdocs.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    try:
+        for sql_s, sql_d in (
+            (textstats.gopher_rules_spark(), textstats.gopher_rules_duck()),
+            (textstats.SOURCE_STATS_SPARK, textstats.SOURCE_STATS_DUCK),
+        ):
+            got = {tuple(r) for r in spark.sql(sql_s).collect()}
+            exp = {tuple(r) for r in con.execute(sql_d).fetchall()}
+            assert got == exp, (got, exp)
+        # the dup audit itself: source s0 has 3 non-null texts, 2 distinct
+        stats = {r.source: r.n_dup_docs for r in spark.sql(textstats.SOURCE_STATS_SPARK).collect()}
+        assert stats["s0"] == 1 and stats["s1"] == 0
+    finally:
+        spark.catalog.dropTempView("documents")

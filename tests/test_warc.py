@@ -243,3 +243,34 @@ def test_write_warc_deterministic_bytes(spark, tmp_path):
         )
         outs.append(blobs)
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_write_warc_null_ts_and_overwrite(spark, tmp_path):
+    """NULL warc_ts rows must not crash the writer (pandas delivers
+    them as NaT); re-exporting to the same directory with fewer files
+    must not leave stale shards behind."""
+    from datetime import datetime
+
+    from crawler_spark.warc import write_warc
+
+    rows = [("https://n.test/p0", None, b"<p>a</p>"),
+            ("https://n.test/p1", datetime(2025, 5, 1, 1, 2, 3), b"<p>b</p>")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "w")
+    write_warc(df, out, n_files=1).collect()
+    back = {(r.url, r.warc_ts) for r in
+            read_warc(spark, out).select("url", "warc_ts").collect()}
+    # NULL ts round-trips as the 1970 epoch sentinel in the record
+    assert {u for u, _ in back} == {"https://n.test/p0", "https://n.test/p1"}
+
+    # wide export then narrow re-export: no stale part files survive
+    import glob
+    wide = spark.createDataFrame(
+        [(f"https://n.test/x{i}", datetime(2025, 5, 1), b"<p>x</p>") for i in range(40)],
+        "url string, warc_ts timestamp, html binary")
+    write_warc(wide, out, n_files=8).collect()
+    assert len(glob.glob(out + "/*.warc.gz")) <= 8
+    write_warc(df, out, n_files=1).collect()
+    files = glob.glob(out + "/*.warc.gz")
+    assert len(files) == 1, files
+    assert read_warc(spark, out).count() == 2
