@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "events_retention",
     "crawl_recrawl_priority",
     "crawl_snapshot_diff",
+    "a6_rollup_revenue",
+    "events_value_quantiles",
 ]
 
 

