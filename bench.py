@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "crawl_snapshot_diff",
     "a6_rollup_revenue",
     "events_value_quantiles",
+    "text_pack_sequences",
+    "text_ccnet_buckets",
+    "sketch_hll_vocab",
 ]
 
 

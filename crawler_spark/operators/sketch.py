@@ -1,0 +1,126 @@
+"""Cardinality sketches as deterministic, oracle-exact SQL.
+
+At 10^10-URL frontier scale, exact ``COUNT(DISTINCT url)`` per host /
+per partition is a full shuffle of every key; production crawl metrics
+(URL-seen growth, per-host frontier size, vocabulary growth) use
+HyperLogLog instead. Spark's built-in ``approx_count_distinct`` IS an
+HLL++, but its estimate is not reproducible in DuckDB, so to keep the
+value-exact oracle contract this module implements classic HLL
+(Flajolet et al. 2007) *explicitly* in portable SQL: both engines hash
+with md5, bucket on the top 6 bits, take the max leading-zero rank per
+bucket, and combine with exact integer arithmetic (the ``2^-M_j`` sum
+is scaled by ``2^55`` so it stays a BIGINT — no float accumulation
+order to disagree on). The only floats are one final division and, on
+the linear-counting branch, one ``ln`` on identical doubles.
+
+Plan shape (the reason the sketch exists): tokens → map-side
+(bucket, rank) projection → ONE partial-aggregating groupBy on
+(lang, bucket) capped at 64 rows per lang → 64-row rollup. At any
+corpus size the shuffle carries ≤ 64 rows per group key — compare the
+exact twin, whose shuffle carries every distinct token.
+
+Reference analog: the reference keeps its URL-seen set as an exact
+in-memory ``HashSet``/Redis set (HZ.Crawler.DataSpider/BaseSpider.cs
+seen-set usage); a 10^10-key crawl replaces exact membership counting
+with sketches like this one.
+"""
+
+from __future__ import annotations
+
+from .textprep import DUCK_WORDS, SPARK_WORDS
+
+_M = 64  # 2^6 buckets
+_ALPHA_M = 0.709  # Flajolet alpha_64
+_W_BITS = 42  # 48-bit md5 prefix minus 6 bucket bits
+_W_MOD = 1 << _W_BITS
+# exact-integer scaling: sum(2^-M_j) * 2^55; max term 2^55, 64 terms
+# -> <= 2^61, no BIGINT overflow; max rank 43 -> min exponent 12 >= 0
+_SCALE_POW = 55
+_NUM = repr(_ALPHA_M * _M * _M * float(1 << _SCALE_POW))
+_LC_THRESHOLD = repr(2.5 * _M)  # linear-counting cutover
+
+
+def _bitlen_case(col: str, bits: int = _W_BITS) -> str:
+    """Exact integer bit-length of ``col`` (0 for 0) as a CASE ladder —
+    string/log-free so both engines agree bit-for-bit."""
+    branches = " ".join(
+        f"WHEN {col} >= {1 << (b - 1)} THEN {b}" for b in range(bits, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+# rank rho = (leading zeros of the 42-bit word) + 1 = 43 - bitlen(w)
+_RHO_SPARK = f"{_W_BITS + 1} - ({_bitlen_case('w')})"
+_RHO_DUCK = _RHO_SPARK  # same pure-arithmetic ladder
+
+
+def hll_views_spark() -> tuple[list[tuple[str, str]], str]:
+    """(views, final) for :func:`queries._views_fn` — the token explode
+    is evaluated once (Spark inlines CTEs; the exact-distinct audit twin
+    would otherwise re-explode the corpus)."""
+    views = [
+        (
+            "hll_toks_v",
+            f"SELECT lang, explode({SPARK_WORDS}) AS token FROM documents",
+        )
+    ]
+    final = f"""
+WITH h AS (
+  SELECT lang,
+         cast(conv(substring(md5(token), 1, 12), 16, 10) AS bigint) AS v
+  FROM hll_toks_v),
+b AS (SELECT lang, v div {_W_MOD} AS j, v % {_W_MOD} AS w FROM h),
+r AS (SELECT lang, j, max({_RHO_SPARK}) AS m FROM b GROUP BY lang, j),
+grid AS (
+  SELECT l.lang, g.j FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN (SELECT explode(sequence(0, {_M - 1})) AS j) g),
+mm AS (
+  SELECT grid.lang, coalesce(r.m, 0) AS m
+  FROM grid LEFT JOIN r ON grid.lang = r.lang AND grid.j = r.j),
+agg AS (
+  SELECT lang,
+         sum(shiftleft(cast(1 AS bigint), {_SCALE_POW} - m)) AS s,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+  FROM mm GROUP BY lang),
+ex AS (
+  SELECT lang, count(DISTINCT token) AS exact_distinct
+  FROM hll_toks_v GROUP BY lang)
+SELECT a.lang,
+       round(CASE WHEN ({_NUM} / a.s) <= {_LC_THRESHOLD} AND a.v0 > 0
+                  THEN cast({_M} AS double) * ln(cast({_M} AS double) / a.v0)
+                  ELSE ({_NUM} / a.s) END, 4) AS hll_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e ON a.lang = e.lang
+"""
+    return views, final
+
+
+def hll_duck() -> str:
+    return f"""
+WITH toks AS (SELECT lang, unnest({DUCK_WORDS}) AS token FROM documents),
+h AS (
+  SELECT lang, ('0x' || substring(md5(token), 1, 12))::BIGINT AS v
+  FROM toks),
+b AS (SELECT lang, v // {_W_MOD} AS j, v % {_W_MOD} AS w FROM h),
+r AS (SELECT lang, j, max({_RHO_DUCK}) AS m FROM b GROUP BY lang, j),
+grid AS (
+  SELECT l.lang, g.j FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN (SELECT unnest(range(0, {_M})) AS j) g),
+mm AS (
+  SELECT grid.lang, coalesce(r.m, 0) AS m
+  FROM grid LEFT JOIN r ON grid.lang = r.lang AND grid.j = r.j),
+agg AS (
+  SELECT lang,
+         sum((1::BIGINT << ({_SCALE_POW} - m))) AS s,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+  FROM mm GROUP BY lang),
+ex AS (
+  SELECT lang, count(DISTINCT token) AS exact_distinct
+  FROM toks GROUP BY lang)
+SELECT a.lang,
+       round(CASE WHEN ({_NUM} / a.s) <= {_LC_THRESHOLD} AND a.v0 > 0
+                  THEN cast({_M} AS double) * ln(cast({_M} AS double) / a.v0)
+                  ELSE ({_NUM} / a.s) END, 4) AS hll_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e ON a.lang = e.lang
+"""

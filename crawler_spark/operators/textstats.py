@@ -547,3 +547,133 @@ FROM documents GROUP BY source
 """
 
 SOURCE_STATS_DUCK = SOURCE_STATS_SPARK
+
+
+# ---------------------------------------------------------------------------
+# LM sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+# Training pipelines concatenate documents into fixed-length token
+# sequences (GPT-2/3, Llama pretraining): docs are laid out in a
+# deterministic order, the running token offset is a windowed cumsum,
+# and sequence id / in-sequence offset fall out of integer div/mod on
+# the offset. The window is partitioned by (lang, shard) — a salted
+# md5 shard key bounds every window partition, so there is never a
+# global sort; at 10^10 docs you raise the shard count, the plan shape
+# (one hash shuffle + per-partition running sum) is unchanged. All
+# arithmetic is integer -> hash-exact across engines.
+
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 4
+
+_PACK_SHARD_SPARK = (
+    "cast(conv(substring(md5(concat(cast(doc_id AS string), ':pack')),"
+    f" 1, 8), 16, 10) AS bigint) % {_PACK_SHARDS}"
+)
+_PACK_SHARD_DUCK = (
+    "('0x' || substring(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT"
+    f" % {_PACK_SHARDS}"
+)
+
+PACK_SPARK = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         cast(size({SPARK_WORDS}) AS bigint) AS n_tok,
+         {_PACK_SHARD_SPARK} AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS tok_start
+  FROM d)
+SELECT doc_id, lang, shard, n_tok, tok_start,
+       tok_start div {_PACK_SEQ_LEN} AS seq_id,
+       tok_start % {_PACK_SEQ_LEN} AS seq_offset
+FROM c
+"""
+
+PACK_DUCK = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len({DUCK_WORDS})::BIGINT AS n_tok,
+         {_PACK_SHARD_DUCK} AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS tok_start
+  FROM d)
+SELECT doc_id, lang, shard, n_tok, tok_start,
+       tok_start // {_PACK_SEQ_LEN} AS seq_id,
+       tok_start % {_PACK_SEQ_LEN} AS seq_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity buckets
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) splits each language's corpus into
+# head/middle/tail terciles by LM perplexity and keeps head+middle.
+# Score: the same millinat-rounded unigram NLL as text_unigram_logprob,
+# reduced to an exact integer micro-nats-per-token (integer division —
+# no float ordering), then ntile(3) per language ordered by
+# (score, doc_id) so ties are deterministic. One window per language
+# partition; at corpus scale the ntile is replaced by quantile cut
+# points from a sampled sketch, but the bucket CONTRACT is this one.
+
+def ccnet_buckets_views_spark() -> tuple[list[tuple[str, str]], str]:
+    views = [
+        (
+            "ccb_toks_v",
+            f"SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents",
+        )
+    ]
+    final = """
+WITH vocab AS (SELECT token, count(*) AS tf FROM ccb_toks_v GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(cast(v.tf AS double) / tot.n) * 1000, 0) AS bigint)
+           AS nll_milli
+  FROM ccb_toks_v t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
+doc AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(nll_milli) AS s
+  FROM scored GROUP BY doc_id),
+b AS (
+  SELECT d.doc_id, docs.lang, (d.s * 1000) div d.n_tokens AS score_micro,
+         ntile(3) OVER (PARTITION BY docs.lang
+                        ORDER BY (d.s * 1000) div d.n_tokens, d.doc_id) AS t
+  FROM doc d JOIN documents docs ON d.doc_id = docs.doc_id)
+SELECT doc_id, lang, score_micro,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b
+"""
+    return views, final
+
+
+def ccnet_buckets_duck() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(cast(v.tf AS double) / tot.n) * 1000, 0) AS bigint)
+           AS nll_milli
+  FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
+doc AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(nll_milli) AS s
+  FROM scored GROUP BY doc_id),
+b AS (
+  SELECT d.doc_id, docs.lang, (d.s * 1000) // d.n_tokens AS score_micro,
+         ntile(3) OVER (PARTITION BY docs.lang
+                        ORDER BY (d.s * 1000) // d.n_tokens, d.doc_id) AS t
+  FROM doc d JOIN documents docs ON d.doc_id = docs.doc_id)
+SELECT doc_id, lang, score_micro,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b
+"""

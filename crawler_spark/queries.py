@@ -28,6 +28,7 @@ from .operators import (
     graph,
     multimodal,
     similarity,
+    sketch,
     textstats,
 )
 
@@ -918,6 +919,29 @@ _TRAIN: dict[str, Query] = {
         # shuffle per round); DuckDB oracle unrolls the same K rounds
         fn=graph.pagerank_df,
         oracle=graph.pagerank_duck(),
+    ),
+    "text_pack_sequences": Query(
+        # LM concat-and-chunk sequence packing: windowed integer cumsum
+        # over salted (lang, shard) streams → seq_id/offset by div/mod;
+        # bounded window partitions, no global sort at any scale
+        spark_sql=textstats.PACK_SPARK,
+        oracle=textstats.PACK_DUCK,
+    ),
+    "text_ccnet_buckets": Query(
+        # CCNet head/middle/tail perplexity terciles per language:
+        # integer micro-nat score + ntile(3) with (score, doc_id)
+        # tie-break — deterministic bucket assignment cross-engine
+        fn=_views_fn(*textstats.ccnet_buckets_views_spark()),
+        oracle=textstats.ccnet_buckets_duck(),
+    ),
+    "sketch_hll_vocab": Query(
+        # explicit HyperLogLog (Flajolet 2007) in portable SQL: md5
+        # bucket/rank, exact-integer 2^-M sum (scaled to BIGINT), per-
+        # lang vocab cardinality + exact audit twin. The sketch shape
+        # that replaces COUNT(DISTINCT) at 10^10 keys: shuffle carries
+        # ≤64 rows per lang instead of every distinct token.
+        fn=_views_fn(*sketch.hll_views_spark()),
+        oracle=sketch.hll_duck(),
     ),
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK

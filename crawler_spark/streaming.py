@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -133,5 +134,64 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming URL-seen dedup (the frontier-ingest stream's core operator)
+# ---------------------------------------------------------------------------
+
+SEEN_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+    ]
+)
+
+# per-host state: the sorted set of 63-bit md5 prefixes of seen urls —
+# the streaming twin of the engine's partitioned bloom/cuckoo URL-seen
+# (exact here: state is per-host-bounded, and Structured Streaming
+# checkpoints it crash-safely like the batch engine's manifest commits)
+SEEN_STATE_SCHEMA = StructType(
+    [StructField("seen", ArrayType(LongType()))]
+)
+
+
+def _url_h63(url: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:16], 16) >> 1
+
+
+def _seen_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
+    seen = set(state.get[0]) if state.exists else set()
+    out_urls = []
+    for pdf in pdfs:
+        for u in pdf["url"]:
+            h = _url_h63(u)
+            if h not in seen:
+                seen.add(h)
+                out_urls.append(u)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"host": [key[0]] * len(out_urls), "url": out_urls})
+
+
+def url_seen_dedup_stateful(stream: DataFrame) -> DataFrame:
+    """First-occurrence-only URL stream, keyed by host: every url is
+    emitted exactly once across ALL micro-batches; re-discoveries in
+    later batches are dropped against the checkpointed per-host state.
+
+    This is the streaming expression of the crawl loop's URL-seen
+    anti-join (J4/J6): hash-partitioned by host exactly like the batch
+    bloom/cuckoo partitioning, so each state partition holds only its
+    hosts' keys and the operator scales by adding partitions. Reference
+    analog: BaseSpider.cs's seen-set gate, as an incremental stream.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _seen_update,
+        outputStructType=SEEN_OUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -357,3 +357,63 @@ def test_gopher_and_source_stats_null_and_empty_text_parity(spark, tmp_path):
         assert stats["s0"] == 1 and stats["s1"] == 0
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_stateful_url_seen_dedup(spark, tmp_path):
+    """§2.9/J4 streaming twin: applyInPandasWithState URL-seen emits
+    every url exactly once ACROSS micro-batches — re-discoveries in a
+    later batch are dropped against checkpointed per-host state."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "urls")
+    os.makedirs(src, exist_ok=True)
+    b0 = pd.DataFrame(
+        {
+            "host": ["a.com", "a.com", "b.com"],
+            "url": ["http://a.com/1", "http://a.com/2", "http://b.com/1"],
+        }
+    )
+    # batch 1 re-discovers a.com/2 and b.com/1, adds two new urls
+    b1 = pd.DataFrame(
+        {
+            "host": ["a.com", "b.com", "b.com", "a.com"],
+            "url": [
+                "http://a.com/2",
+                "http://b.com/1",
+                "http://b.com/2",
+                "http://a.com/3",
+            ],
+        }
+    )
+    spark.createDataFrame(b0).coalesce(1).write.parquet(f"{src}/d=0")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{src}/d=1")
+
+    from crawler_spark.streaming import url_seen_dedup_stateful
+
+    schema = spark.read.parquet(f"{src}/d=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/d=*")
+    )
+    q = (
+        url_seen_dedup_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("url_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT host, url FROM url_seen").collect()
+    finally:
+        q.stop()
+    got = sorted((r.host, r.url) for r in rows)
+    want = sorted(
+        set(zip(b0["host"], b0["url"])) | set(zip(b1["host"], b1["url"]))
+    )
+    # exactly once: no url appears twice, and the union is complete
+    assert got == want

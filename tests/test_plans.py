@@ -252,3 +252,26 @@ def test_gopher_rules_map_side_only(spark):
     plan = _plan(all_queries()["text_gopher_rules"].run(spark, SF_DIR))
     for op in ("Exchange", "Join", "HashAggregate", "Sort"):
         assert op not in plan, f"unexpected {op} in\n{plan}"
+
+
+def test_pack_sequences_single_sharded_shuffle(spark):
+    """text_pack_sequences: ONE hash shuffle on (lang, shard) feeding the
+    running-sum window — sharding bounds every window partition, so no
+    global sort / SinglePartition exchange exists at any corpus size."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["text_pack_sequences"].run(spark, SF_DIR))
+    assert "Exchange hashpartitioning(lang" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange ") == 1, plan
+
+
+def test_hll_sketch_partial_agg_and_broadcast(spark):
+    """sketch_hll_vocab: the 64-bucket rollup must partial-aggregate
+    map-side (shuffle carries <=64 rows per lang, the whole point of the
+    sketch) and the exact-audit join must broadcast, not shuffle."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sketch_hll_vocab"].run(spark, SF_DIR))
+    assert "partial_sum(shiftleft" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
