@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "text_ccnet_buckets",
     "sketch_hll_vocab",
+    "sketch_cms_heavy_hitters",
+    "text_tfidf_topk",
 ]
 
 

@@ -124,3 +124,72 @@ SELECT a.lang,
        e.exact_distinct
 FROM agg a JOIN ex e ON a.lang = e.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+# The frequency twin of the HLL above: per-key counts at 10^10 events
+# (requests per user, fetches per host) via a d×w counter grid instead
+# of an exact per-key groupBy. Same portability recipe — salted md5
+# row-hashes, integer-only cells, so Spark and DuckDB build the
+# IDENTICAL sketch. Estimate = min over d rows of the hashed cell
+# (classic CMS upper bound: cms_n >= exact_n always, equality unless
+# collided). Plan shape: the event scan explodes ×d but map-side
+# partial agg collapses to ≤ d·w cells before the shuffle, and the
+# key-side probe joins a d·w-row broadcast — no full-key shuffle.
+
+_CMS_D = 4
+_CMS_W = 128
+_CMS_TOPK = 20
+
+
+def _cms_h_spark(key: str, r: str = "r") -> str:
+    return (
+        f"cast(conv(substring(md5(concat(cast({key} AS string), ':cms',"
+        f" cast({r} AS string))), 1, 8), 16, 10) AS bigint) % {_CMS_W}"
+    )
+
+
+def _cms_h_duck(key: str, r: str = "r") -> str:
+    return (
+        f"('0x' || substring(md5({key}::VARCHAR || ':cms' || {r}::VARCHAR),"
+        f" 1, 8))::BIGINT % {_CMS_W}"
+    )
+
+
+CMS_SPARK = f"""
+WITH rs AS (SELECT explode(sequence(0, {_CMS_D - 1})) AS r),
+cells AS (
+  SELECT r, {_cms_h_spark('user_id')} AS h, count(*) AS c
+  FROM events CROSS JOIN rs GROUP BY r, h),
+keys AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+probe AS (
+  SELECT k.user_id, k.exact_n, c.c
+  FROM keys k CROSS JOIN rs
+  JOIN cells c
+    ON c.r = rs.r AND c.h = {_cms_h_spark('k.user_id', 'rs.r')}),
+est AS (
+  SELECT user_id, exact_n, min(c) AS cms_n
+  FROM probe GROUP BY user_id, exact_n)
+SELECT user_id, exact_n, cms_n
+FROM est ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPK}
+"""
+
+CMS_DUCK = f"""
+WITH rs AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+cells AS (
+  SELECT r, {_cms_h_duck('user_id')} AS h, count(*) AS c
+  FROM events CROSS JOIN rs GROUP BY r, h),
+keys AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+probe AS (
+  SELECT k.user_id, k.exact_n, c.c
+  FROM keys k CROSS JOIN rs
+  JOIN cells c
+    ON c.r = rs.r AND c.h = {_cms_h_duck('k.user_id', 'rs.r')}),
+est AS (
+  SELECT user_id, exact_n, min(c) AS cms_n
+  FROM probe GROUP BY user_id, exact_n)
+SELECT user_id, exact_n, cms_n
+FROM est ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPK}
+"""

@@ -677,3 +677,63 @@ SELECT doc_id, lang, score_micro,
          AS bucket
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top-k terms per document (keyword extraction)
+# ---------------------------------------------------------------------------
+# Per-doc salient terms for corpus indexing / topic tagging: integer
+# tf × millinat-rounded idf (one ln on identical doubles, then all
+# integer — order-independent, hash-exact cross-engine). Top-3 per doc
+# by (score, token) with row_number — deterministic under ties. The df
+# relation is token-keyed (vocabulary-sized, partial-agg'd map-side)
+# and joins the tf relation on token; no cross-doc pairwise work.
+
+def tfidf_views_spark() -> tuple[list[tuple[str, str]], str]:
+    views = [
+        (
+            "tfidf_toks_v",
+            f"SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents",
+        )
+    ]
+    final = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tfidf_toks_v GROUP BY doc_id, token),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM tfidf_toks_v GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tfidf_toks_v),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * cast(round(ln(cast(n.n AS double) / df.df) * 1000, 0)
+                      AS bigint) AS score_milli
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+r AS (
+  SELECT doc_id, token, tf, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, token) AS rk
+  FROM s)
+SELECT doc_id, token, tf, score_milli, rk FROM r WHERE rk <= 3
+"""
+    return views, final
+
+
+def tfidf_duck() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * cast(round(ln(cast(n.n AS double) / df.df) * 1000, 0)
+                      AS bigint) AS score_milli
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+r AS (
+  SELECT doc_id, token, tf, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, token) AS rk
+  FROM s)
+SELECT doc_id, token, tf, score_milli, rk FROM r WHERE rk <= 3
+"""

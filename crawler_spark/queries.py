@@ -943,6 +943,20 @@ _TRAIN: dict[str, Query] = {
         fn=_views_fn(*sketch.hll_views_spark()),
         oracle=sketch.hll_duck(),
     ),
+    "sketch_cms_heavy_hitters": Query(
+        # count-min sketch (d=4×w=128, salted md5 rows) with exact-count
+        # audit: top-20 heavy hitters, cms_n >= exact_n by construction.
+        # Event scan collapses to ≤512 cells map-side — the frequency
+        # sketch that replaces a full per-key shuffle at 10^10 events.
+        spark_sql=sketch.CMS_SPARK,
+        oracle=sketch.CMS_DUCK,
+    ),
+    "text_tfidf_topk": Query(
+        # per-doc salient terms: integer tf × millinat idf, top-3 by
+        # (score, token) row_number — deterministic keyword extraction
+        fn=_views_fn(*textstats.tfidf_views_spark()),
+        oracle=textstats.tfidf_duck(),
+    ),
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK
     ),
