@@ -1,0 +1,115 @@
+"""End-to-end training-data pipeline: compose the corpus operators into
+the curation flow a 100 TB webtext run actually executes.
+
+    documents ──► quality gate (Gopher shape rules)
+              ──► exact dedup (first-wins per md5, BaseSpider.cs:275-287
+                  semantics lifted to the corpus)
+              ──► near-dup dedup (MinHash-LSH pairs → connected
+                  components → canonical per cluster)
+              ──► CCNet perplexity gate (drop the tail tercile per lang)
+              ──► LM sequence packing (concat-and-chunk, sharded cumsum)
+              ──► packed training shards (parquet, partitioned by lang)
+
+Every stage reuses the REGISTERED operator SQL (queries.py keys:
+text_gopher_rules, dedup_exact, dedup_minhash_lsh→dedup_components,
+text_ccnet_buckets, text_pack_sequences) — the pipeline adds no new
+semantics, only composition, so each stage stays covered by its own
+DuckDB oracle. Stages chain by rebinding the ``documents`` temp view to
+the survivor frame (localCheckpoint-backed: each stage's plan is
+evaluated once, lineage doesn't stack across stages — at 10^10 docs
+each arrow above is a table write anyway).
+
+Scale notes per stage are in the operator modules; the composition
+itself adds one narrow survivors-projection join per stage, broadcast
+when the survivor id set is dimension-sized, hash otherwise (Spark
+picks via AQE — ids are a single bigint column either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import cluster, dedup, textstats
+
+
+def _run_views(
+    spark: SparkSession, views: list[tuple[str, str]], final: str
+) -> DataFrame:
+    """queries._views_fn without the load_views() rebinding — the
+    pipeline OWNS the ``documents`` view between stages."""
+    for name, sql in views:
+        spark.sql(sql).localCheckpoint(eager=False).createOrReplaceTempView(
+            name
+        )
+    return spark.sql(final)
+
+
+def _rebind(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    docs = docs.localCheckpoint(eager=False)
+    docs.createOrReplaceTempView("documents")
+    return docs
+
+
+def run_training_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation flow over ``documents`` (schema: doc_id,
+    text, lang, source, n_chars). Returns (packed frame, per-stage row
+    accounting). ``out_dir``: also write lang-partitioned shards."""
+    counts: dict[str, int] = {}
+    docs = _rebind(spark, documents)
+    counts["input"] = docs.count()
+
+    # 1. Gopher document-shape quality gate (q:text_gopher_rules)
+    keep_ids = spark.sql(textstats.gopher_rules_spark()).where(
+        F.col("keep") == 1
+    )
+    docs = _rebind(spark, docs.join(keep_ids.select("doc_id"), "doc_id"))
+    counts["quality_gate"] = docs.count()
+
+    # 2. exact dedup: first-wins per content hash (q:dedup_exact rule)
+    first = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = _rebind(spark, docs.join(first, "doc_id"))
+    counts["exact_dedup"] = docs.count()
+
+    # 3. near-dup dedup: LSH pairs → components → canonical per cluster
+    #    (q:dedup_minhash_lsh candidates, q:dedup_components closure)
+    pairs = _run_views(spark, *dedup.minhash_lsh_views_spark()).select(
+        "doc_a", "doc_b"
+    )
+    comps = cluster.connected_components(docs.select("doc_id"), pairs)
+    canon = comps.where(F.col("doc_id") == F.col("comp_id")).select("doc_id")
+    docs = _rebind(spark, docs.join(canon, "doc_id"))
+    counts["near_dup_dedup"] = docs.count()
+
+    # 4. CCNet perplexity gate: drop the tail tercile per language
+    #    (q:text_ccnet_buckets)
+    buckets = _run_views(spark, *textstats.ccnet_buckets_views_spark())
+    keep = buckets.where(F.col("bucket") != "tail").select("doc_id")
+    docs = _rebind(spark, docs.join(keep, "doc_id"))
+    counts["ccnet_gate"] = docs.count()
+
+    # 5. LM sequence packing over the survivors (q:text_pack_sequences)
+    packed = spark.sql(textstats.PACK_SPARK).localCheckpoint(eager=False)
+    counts["packed_docs"] = packed.count()
+    counts["packed_sequences"] = (
+        packed.select("lang", "shard", "seq_id").distinct().count()
+    )
+
+    if out_dir is not None:
+        (
+            packed.repartition("lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(os.path.join(out_dir, "packed"))
+        )
+    return packed, counts

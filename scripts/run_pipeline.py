@@ -1,0 +1,54 @@
+"""spark-submit entry for the training-data curation pipeline.
+
+    spark-submit --master local[16] --py-files /tmp/crawler_spark.zip \
+        scripts/run_pipeline.py --docs <documents.parquet> \
+        --out /tmp/train-shards
+
+Prints ONE JSON line with per-stage row accounting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output shard directory")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawler_spark.pipeline import run_training_pipeline
+
+    spark = (
+        SparkSession.builder.appName("training-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.docs)
+    _, counts = run_training_pipeline(spark, docs, out_dir=args.out)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "stages": counts,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(counts["input"] / wall, 1),
+                "out": os.path.join(args.out, "packed"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
