@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sketch_hll_vocab",
     "sketch_cms_heavy_hitters",
     "text_tfidf_topk",
+    "events_anomaly",
 ]
 
 

@@ -598,6 +598,30 @@ _REL["events_retention"] = Query(
     ),
 )
 
+_ANOMALY_SQL = """
+WITH d AS (SELECT event_type, cast(ts AS date) AS day, count(*) AS cnt
+           FROM events GROUP BY event_type, cast(ts AS date)),
+st AS (SELECT event_type, count(*) AS n, sum(cnt) AS s,
+              sum(cnt * cnt) AS s2
+       FROM d GROUP BY event_type)
+SELECT d.event_type, d.day, d.cnt,
+       d.cnt * st.n - st.s AS dev_n,
+       CASE WHEN (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
+                 > 9 * (st.n * st.s2 - st.s * st.s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM d JOIN st ON d.event_type = st.event_type
+"""
+
+_REL["events_anomaly"] = Query(
+    # daily-volume anomaly detection per event type: population z-score
+    # > 3 evaluated ENTIRELY in integers via cross-multiplication
+    # ((c·n − S)² > 9(n·S2 − S²)) — no float mean/stddev accumulation
+    # order to disagree on. Two hash aggs + a broadcast-able per-type
+    # stats join; the ops-monitoring query a crawl fleet runs nightly.
+    spark_sql=_ANOMALY_SQL,
+    oracle=_ANOMALY_SQL,
+)
+
 _ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, '(all)') AS returnflag,
        coalesce(l_linestatus, '(all)') AS linestatus,

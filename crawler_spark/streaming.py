@@ -195,3 +195,67 @@ def url_seen_dedup_stateful(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming politeness rate limiter (the crawl budget as a stream)
+# ---------------------------------------------------------------------------
+
+RATE_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("trigger_seq", LongType()),
+    ]
+)
+
+# per-host state: FIFO backlog of not-yet-released urls + the host's
+# trigger ordinal (for budget-per-trigger audit)
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("backlog", ArrayType(StringType())),
+        StructField("n_triggers", LongType()),
+    ]
+)
+
+_RATE_K = 2  # urls released per host per trigger (k = window/delay)
+
+
+def _rate_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
+    backlog, n_trig = (
+        (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+    )
+    new = sorted(u for pdf in pdfs for u in pdf["url"])
+    avail = backlog + new
+    emit, rest = avail[:_RATE_K], avail[_RATE_K:]
+    n_trig += 1
+    state.update((rest, n_trig))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]] * len(emit),
+            "url": emit,
+            "trigger_seq": [n_trig] * len(emit),
+        }
+    )
+
+
+def politeness_rate_limit_stateful(stream: DataFrame) -> DataFrame:
+    """Per-host token-bucket release: each trigger emits at most k urls
+    per host (k = politeness window / crawl-delay, the same budget law
+    as ``politeness_take``); the overflow rides in checkpointed state
+    as a FIFO backlog and drains on later triggers.
+
+    The streaming expression of the batch engine's per-host take-k
+    (O3 / BaseSpider.cs:97-102,139 rate ceiling): hash-partitioned by
+    host, so per-host ordering is total and budgets are enforced
+    per-partition with no coordination. Production note: add a
+    ProcessingTimeTimeout to drain hosts that stop receiving new
+    discoveries; omitted here to keep trigger accounting deterministic.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _rate_update,
+        outputStructType=RATE_OUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -417,3 +417,80 @@ def test_stateful_url_seen_dedup(spark, tmp_path):
     )
     # exactly once: no url appears twice, and the union is complete
     assert got == want
+
+
+def test_stateful_politeness_rate_limit(spark, tmp_path):
+    """§2.9/O3 streaming twin: per-host budget of k urls per trigger,
+    overflow carried as FIFO backlog in state and drained later —
+    exactly-once release, never more than k per (host, trigger)."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "disc")
+    os.makedirs(src, exist_ok=True)
+    files = [
+        # trigger 1: host a discovers 4 urls at once, b discovers 1
+        pd.DataFrame(
+            {
+                "host": ["a.com"] * 4 + ["b.com"],
+                "url": [f"http://a.com/{i}" for i in range(4)]
+                + ["http://b.com/0"],
+            }
+        ),
+        # triggers 2 and 3: one more discovery each, so both hosts keep
+        # being invoked and the backlog drains
+        pd.DataFrame(
+            {"host": ["a.com", "b.com"],
+             "url": ["http://a.com/4", "http://b.com/1"]}
+        ),
+        pd.DataFrame(
+            {"host": ["a.com", "b.com"],
+             "url": ["http://a.com/5", "http://b.com/2"]}
+        ),
+    ]
+    for i, pdf in enumerate(files):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/d={i}")
+
+    from crawler_spark.streaming import politeness_rate_limit_stateful
+
+    schema = spark.read.parquet(f"{src}/d=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/d=*")
+    )
+    q = (
+        politeness_rate_limit_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_limited")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT host, url, trigger_seq FROM rate_limited"
+        ).collect()
+    finally:
+        q.stop()
+
+    # budget law: never more than k=2 per (host, trigger)
+    per_trigger: dict[tuple, int] = {}
+    for r in rows:
+        per_trigger[(r.host, r.trigger_seq)] = (
+            per_trigger.get((r.host, r.trigger_seq), 0) + 1
+        )
+    assert per_trigger and all(v <= 2 for v in per_trigger.values())
+    # exactly-once: a.com released all 6 urls total (4+1+1 over 3
+    # triggers at k=2), b.com all 3; no duplicates, nothing lost
+    emitted = [(r.host, r.url) for r in rows]
+    assert len(emitted) == len(set(emitted))
+    want = {(h, u) for f in files for h, u in zip(f["host"], f["url"])}
+    assert set(emitted) == want
+    # FIFO + budget: host a emits exactly 2 on every trigger
+    a_counts = sorted(
+        v for (h, t), v in per_trigger.items() if h == "a.com"
+    )
+    assert a_counts == [2, 2, 2]
