@@ -27,9 +27,15 @@ def spark_shingles(n: int = 2) -> str:
 
 
 def duck_shingles(n: int = 2) -> str:
-    """DuckDB twin of :func:`spark_shingles` (1-based inclusive slices)."""
+    """DuckDB twin of :func:`spark_shingles` (1-based inclusive slices).
+
+    The whole-text branch coalesces to '' because DuckDB's
+    ``array_to_string([], ' ')`` is NULL (Spark's ``array_join`` returns
+    '') and ``list_distinct`` then DROPS the NULL — without the
+    coalesce a zero-token document vanishes from the shingle relation
+    in DuckDB but not in Spark (caught by tests/test_edge_docs.py)."""
     return f"""CASE WHEN len(w) < {n}
-      THEN list_distinct([array_to_string(w, ' ')])
+      THEN list_distinct([coalesce(array_to_string(w, ' '), '')])
       ELSE list_distinct(list_transform(range(1, len(w) - {n - 2}),
              i -> array_to_string(w[i:i + {n - 1}], ' '))) END"""
 

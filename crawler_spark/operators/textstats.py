@@ -42,7 +42,8 @@ SELECT doc_id,
             WHEN fr >= es AND fr > 0 THEN 'fr'
             WHEN es > 0 THEN 'es'
             ELSE 'und' END AS pred_lang,
-       round(cast(en AS double) / n, 4) AS en_ratio
+       CASE WHEN n = 0 THEN cast(0 AS double)
+            ELSE round(cast(en AS double) / n, 4) END AS en_ratio
 FROM hits
 """
 
@@ -67,7 +68,8 @@ SELECT doc_id,
             WHEN fr >= es AND fr > 0 THEN 'fr'
             WHEN es > 0 THEN 'es'
             ELSE 'und' END AS pred_lang,
-       round(cast(en AS double) / n, 4) AS en_ratio
+       CASE WHEN n = 0 THEN cast(0 AS double)
+            ELSE round(cast(en AS double) / n, 4) END AS en_ratio
 FROM hits
 """
 
@@ -88,9 +90,15 @@ m AS (
          aggregate(w, 0, (acc, x) -> acc + length(x)) AS chars_in_words
   FROM w)
 SELECT doc_id, n_words, n_chars,
-       round(cast(n_stop AS double) / n_words, 4) AS stopword_ratio,
-       round(cast(n_punct AS double) / n_chars, 4) AS punct_ratio,
-       round(cast(chars_in_words AS double) / n_words, 4) AS mean_word_len,
+       CASE WHEN n_words = 0 THEN cast(0 AS double)
+            ELSE round(cast(n_stop AS double) / n_words, 4)
+            END AS stopword_ratio,
+       CASE WHEN n_chars = 0 THEN cast(0 AS double)
+            ELSE round(cast(n_punct AS double) / n_chars, 4)
+            END AS punct_ratio,
+       CASE WHEN n_words = 0 THEN cast(0 AS double)
+            ELSE round(cast(chars_in_words AS double) / n_words, 4)
+            END AS mean_word_len,
        CASE WHEN n_words >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS keep
 FROM m
 """
@@ -107,9 +115,15 @@ m AS (
          list_sum(list_transform(w, x -> length(x))) AS chars_in_words
   FROM w)
 SELECT doc_id, n_words, n_chars,
-       round(cast(n_stop AS double) / n_words, 4) AS stopword_ratio,
-       round(cast(n_punct AS double) / n_chars, 4) AS punct_ratio,
-       round(cast(chars_in_words AS double) / n_words, 4) AS mean_word_len,
+       CASE WHEN n_words = 0 THEN cast(0 AS double)
+            ELSE round(cast(n_stop AS double) / n_words, 4)
+            END AS stopword_ratio,
+       CASE WHEN n_chars = 0 THEN cast(0 AS double)
+            ELSE round(cast(n_punct AS double) / n_chars, 4)
+            END AS punct_ratio,
+       CASE WHEN n_words = 0 THEN cast(0 AS double)
+            ELSE round(cast(chars_in_words AS double) / n_words, 4)
+            END AS mean_word_len,
        CASE WHEN n_words >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS keep
 FROM m
 """
