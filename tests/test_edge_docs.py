@@ -54,6 +54,10 @@ def _cases():
         # pure-SQL LSH form (the registered query uses the cached-view
         # twin of the same text); docs 8/9 are exact dups -> 1 pair
         ("minhash_lsh", dedup.minhash_lsh_spark(), dedup.minhash_lsh_duck()),
+        ("ngram_jaccard", dedup.ngram_jaccard_spark(),
+         dedup.ngram_jaccard_duck()),
+        ("exact_substring", dedup.exact_substring_spark(),
+         dedup.exact_substring_duck()),
         ("sketch_hll", None, None),  # replaced below: views-based
     ]
 
