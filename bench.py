@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "sketch_cms_heavy_hitters",
     "text_tfidf_topk",
     "events_anomaly",
+    "text_script_mix",
+    "graph_degree_dist",
 ]
 
 

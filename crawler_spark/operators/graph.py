@@ -150,3 +150,15 @@ def pagerank_duck(iterations: int = ITERATIONS) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node_id, round(pr, 9) AS pr FROM pr{iterations}"
     )
+
+
+# degree distribution over the same edge relation pagerank walks: the
+# host-fanout audit (how many nodes have out-degree d) — two stacked
+# hash aggregations, both with map-side partials; the second one's key
+# space is the distinct degree values (tiny at any graph size)
+DEGREE_DIST_SQL = f"""
+WITH e AS ({EDGES_SQL}),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
+SELECT outdeg, count(*) AS n_nodes
+FROM deg GROUP BY outdeg
+"""

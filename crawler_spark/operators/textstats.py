@@ -751,3 +751,53 @@ r AS (
   FROM s)
 SELECT doc_id, token, tf, score_milli, rk FROM r WHERE rk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition per document
+# ---------------------------------------------------------------------------
+# Script mix (Latin / CJK / digit / whitespace / other counts) is the
+# cheap router in front of per-language pipelines — it needs no token
+# model, just codepoint-class counting, so it stays a pure map-side
+# projection at any corpus size. Counting is done by subtraction
+# (length minus length-after-removing-class) — all integers, exact in
+# both engines.
+
+def _script_counts(cjk_re: str, ws_re: str) -> str:
+    return f"""
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', ''{{G}}))
+           AS n_latin,
+         length(text) - length(regexp_replace(text, '[0-9]', ''{{G}}))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '{cjk_re}', ''{{G}}))
+           AS n_cjk,
+         length(text) - length(regexp_replace(text, '{ws_re}', ''{{G}}))
+           AS n_space
+  FROM documents"""
+
+
+def _script_mix_sql(counts: str) -> str:
+    return f"""
+WITH m AS ({counts})
+SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_space,
+       n_chars - n_latin - n_digit - n_cjk - n_space AS n_other,
+       CASE WHEN n_cjk > n_latin THEN 'cjk'
+            WHEN n_latin > 0 THEN 'latin'
+            WHEN n_digit > 0 THEN 'digit'
+            ELSE 'other' END AS dominant_script
+FROM m
+"""
+
+
+def script_mix_spark() -> str:
+    return _script_mix_sql(
+        _script_counts(_CJK_RE, "\\\\s").replace("{G}", "")
+    )
+
+
+def script_mix_duck() -> str:
+    return _script_mix_sql(
+        _script_counts(_CJK_RE_DUCK, "\\s").replace("{G}", ", 'g'")
+    )

@@ -967,6 +967,19 @@ _TRAIN: dict[str, Query] = {
         fn=_views_fn(*sketch.hll_views_spark()),
         oracle=sketch.hll_duck(),
     ),
+    "text_script_mix": Query(
+        # codepoint-class composition (latin/digit/CJK/space/other) by
+        # length subtraction — all-integer map-side projection, the
+        # router in front of per-language pipelines
+        spark_sql=textstats.script_mix_spark(),
+        oracle=textstats.script_mix_duck(),
+    ),
+    "graph_degree_dist": Query(
+        # out-degree distribution of the link graph (host-fanout
+        # audit): two stacked partial-agg'd hash aggregations
+        spark_sql=graph.DEGREE_DIST_SQL,
+        oracle=graph.DEGREE_DIST_SQL,
+    ),
     "sketch_cms_heavy_hitters": Query(
         # count-min sketch (d=4×w=128, salted md5 rows) with exact-count
         # audit: top-20 heavy hitters, cms_n >= exact_n by construction.

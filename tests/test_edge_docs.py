@@ -49,6 +49,8 @@ def _cases():
         ("exact_dedup", dedup.DEDUP_EXACT_SPARK, dedup.DEDUP_EXACT_DUCK),
         ("pack", textstats.PACK_SPARK, textstats.PACK_DUCK),
         ("pii", textstats.PII_SPARK, textstats.PII_DUCK),
+        ("script_mix", textstats.script_mix_spark(),
+         textstats.script_mix_duck()),
         ("boilerplate", textstats.boilerplate_spark(),
          textstats.boilerplate_duck()),
         # pure-SQL LSH form (the registered query uses the cached-view
