@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_decontaminate",
     "ann_brute_topk",
     "mm_decode_features",
+    "mm_frame_sample",
     "graph_pagerank",
     "events_asof_join",
     "dedup_exact_substring",

@@ -997,6 +997,28 @@ _TRAIN: dict[str, Query] = {
     "mm_meta": Query(
         spark_sql=multimodal.MM_META_SPARK, oracle=multimodal.MM_META_DUCK
     ),
+    "mm_resize": Query(
+        # mapInPandas image-resize stage (stub pixel kernel, real Arrow
+        # plumbing); full skeleton (src/target dims, content-addressed
+        # output hash) is deterministic -> value-exact DuckDB oracle
+        fn=lambda spark, sf_dir: multimodal.resize_batches(
+            multimodal.documents_as_payload(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            )
+        ),
+        oracle=multimodal.resize_duck(),
+    ),
+    "mm_frame_sample": Query(
+        # one-to-many mapInPandas frame sampling (strided demux stub):
+        # each payload fans out to <=8 frame rows inside the Arrow
+        # batch; count/index/identity all md5-derived -> full oracle
+        fn=lambda spark, sf_dir: multimodal.frame_sample_batches(
+            multimodal.documents_as_payload(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            )
+        ),
+        oracle=multimodal.frame_sample_duck(),
+    ),
     "mm_decode_features": Query(
         fn=lambda spark, sf_dir: multimodal.decode_batches(
             multimodal.documents_as_payload(
