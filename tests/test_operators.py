@@ -494,3 +494,34 @@ def test_stateful_politeness_rate_limit(spark, tmp_path):
         v for (h, t), v in per_trigger.items() if h == "a.com"
     )
     assert a_counts == [2, 2, 2]
+
+
+def test_hll_sketch_error_bound(spark):
+    """HLL guarantee: with m=64 buckets the typical relative error is
+    1.04/sqrt(64) ≈ 13%; assert every group sits inside ~2.7σ (35%) of
+    its exact audit column. (Deterministic data — this pins the sketch
+    math, not luck: observed 8.1% at sf0.01.)"""
+    from crawler_spark.queries import all_queries
+
+    rows = all_queries()["sketch_hll_vocab"].run(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.35, (r.lang, r.hll_distinct, r.exact_distinct)
+
+
+def test_cms_sketch_upper_bound(spark):
+    """CMS guarantees: the estimate NEVER undercounts, and with w=128
+    the overestimate is bounded by (e/w)·N w.h.p. (N = total events;
+    observed max overestimate 68 ≤ 212 at sf0.01)."""
+    from crawler_spark.queries import all_queries
+
+    rows = (
+        all_queries()["sketch_cms_heavy_hitters"].run(spark, SF_DIR).collect()
+    )
+    assert rows
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    bound = 2.718281828 / 128 * n_events
+    for r in rows:
+        assert r.cms_n >= r.exact_n, r
+        assert r.cms_n - r.exact_n <= bound, (r, bound)
