@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
+    "dedup_simhash_banded_m2",
     "dedup_embedding_lsh",
     "dedup_components",
     "text_token_count",

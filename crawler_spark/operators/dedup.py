@@ -398,7 +398,8 @@ def simhash_pairs_banded_duck(
 
 
 def simhash_banded_df(spark, sf_dir: str,
-                      max_hamming: int = SIMHASH_BANDED_MAX_HAMMING):
+                      max_hamming: int = SIMHASH_BANDED_MAX_HAMMING,
+                      m: int = 1):
     """DataFrame implementation of the banded SimHash pairs — the form
     a production pipeline runs. Differences vs the pure-SQL variant
     (simhash_pairs_banded_spark, kept as documentation):
@@ -409,13 +410,24 @@ def simhash_banded_df(spark, sf_dir: str,
     - hamming is bit_count(xor) over two packed 32-bit ints, not 64
       substring comparisons per candidate.
 
-    Same results as the DuckDB all-pairs oracle (pigeonhole-exact for
-    max_hamming ≤ SIMHASH_CHUNKS-1)."""
+    ``m`` is the block-combination order (Manku, Jain & Sarma, WWW'07
+    §3: key candidate buckets on every C(chunks, m) combination of m
+    chunks). A pair within hamming ≤ d agrees on ≥ chunks−d chunks, so
+    some m-combination matches whenever m ≤ chunks−d — the result stays
+    EXACT for max_hamming ≤ SIMHASH_CHUNKS − m. Why raise m: bucket key
+    space goes from 2^8 to 2^(8m), so expected bucket occupancy — and
+    with it the quadratic candidate blow-up — drops by ~256× per step.
+    Measured at 100k docs (scripts/ops_scale.py): m=1/d=7 spends ~144 s
+    generating ~10^8 candidates; m=2/d=6 collapses the candidate set to
+    the near-dup survivors. m=1 matches the classic one-chunk design;
+    the same DuckDB all-pairs oracle (at the matching d) checks both."""
     import os as _os
+    from itertools import combinations
 
     from pyspark.sql import functions as F
 
-    assert max_hamming < SIMHASH_CHUNKS
+    assert 1 <= m < SIMHASH_CHUNKS
+    assert max_hamming <= SIMHASH_CHUNKS - m
     spark.read.parquet(
         _os.path.join(sf_dir, "documents.parquet")
     ).createOrReplaceTempView("documents")
@@ -430,13 +442,19 @@ def simhash_banded_df(spark, sf_dir: str,
         )
         .persist()
     )
+    combos = list(combinations(range(SIMHASH_CHUNKS), m))
     chunks = fp.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.substring("simhash", c * width + 1, width)
-                    for c in range(SIMHASH_CHUNKS)
+                    F.concat(
+                        *[
+                            F.substring("simhash", c * width + 1, width)
+                            for c in combo
+                        ]
+                    )
+                    for combo in combos
                 ]
             )
         ).alias("chunk", "ck"),

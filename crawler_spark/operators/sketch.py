@@ -129,6 +129,8 @@ FROM agg a JOIN ex e ON a.lang = e.lang
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 55).
 # The frequency twin of the HLL above: per-key counts at 10^10 events
 # (requests per user, fetches per host) via a d×w counter grid instead
 # of an exact per-key groupBy. Same portability recipe — salted md5

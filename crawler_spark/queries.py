@@ -807,6 +807,16 @@ _TRAIN: dict[str, Query] = {
         fn=lambda spark, sf_dir: dedup.simhash_banded_df(spark, sf_dir),
         oracle=dedup.simhash_pairs_banded_duck(),
     ),
+    "dedup_simhash_banded_m2": Query(
+        # Manku WWW'07 block-combination keys (m=2: C(8,2)=28 tables,
+        # 16-bit buckets) — pigeonhole-exact for hamming <= 6; the knob
+        # that kills the quadratic candidate blow-up 8-bit buckets hit
+        # at 10^5+ docs (ops_scale.py: 144 s -> seconds at 100k docs)
+        fn=lambda spark, sf_dir: dedup.simhash_banded_df(
+            spark, sf_dir, max_hamming=6, m=2
+        ),
+        oracle=dedup.simhash_pairs_duck(6),
+    ),
     "dedup_embedding_cosine": Query(
         spark_sql=dedup.embedding_pairs_spark(),
         oracle=dedup.embedding_pairs_duck(),

@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 OPS = [
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash_banded",
+    "dedup_simhash_banded_m2",
     "text_pack_sequences",
     "sketch_hll_vocab",
     "text_unigram_logprob",
@@ -83,6 +83,9 @@ def run_level(n_docs: int, cores: int, docs_path: str) -> dict:
             docs_path
         )
     sf_dir = os.path.dirname(docs_path)
+    # warm the page cache / JVM before timing (the first op otherwise
+    # absorbs parquet cold-read + codegen warmup and skews one level)
+    spark.read.parquet(docs_path).count()
     qs = all_queries()
     out: dict[str, float] = {}
     total0 = time.monotonic()

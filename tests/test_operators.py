@@ -525,3 +525,25 @@ def test_cms_sketch_upper_bound(spark):
     for r in rows:
         assert r.cms_n >= r.exact_n, r
         assert r.cms_n - r.exact_n <= bound, (r, bound)
+
+
+def test_simhash_block_combination_banding_exact(spark):
+    """Manku m=2 block-combination keys must return EXACTLY the pairs
+    the classic m=1 banding returns at the same hamming cutoff (both
+    pigeonhole-exact for d <= 8 - m) — the m knob changes the plan's
+    candidate volume, never the result."""
+    from crawler_spark.operators import dedup
+
+    m1 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_banded_df(
+            spark, SF_DIR, max_hamming=6, m=1
+        ).collect()
+    }
+    m2 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_banded_df(
+            spark, SF_DIR, max_hamming=6, m=2
+        ).collect()
+    }
+    assert m1 == m2 and m1
