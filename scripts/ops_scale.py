@@ -12,8 +12,15 @@ duplicates and 3% near-duplicates (one word substituted every 16
 positions) so the dedup operators have real work to do.
 
 Usage:
-    python scripts/ops_scale.py N_DOCS CORES [CORES...]
+    python scripts/ops_scale.py N_DOCS CORES [CORES...] [--stopwords]
     (e.g. python scripts/ops_scale.py 100000 4 16)
+
+--stopwords mixes a deterministic English stopword into every 6th
+position. That corpus is HARDER for the LSH dedups (shared shingles
+correlate fingerprints -> more band collisions, like real boilerplate)
+and is the one the quality gates pass, so the end-to-end pipeline demo
+(scripts/run_pipeline.py) uses it; the BENCH.md per-op table uses the
+default (pure-random) corpus. Both are fully deterministic.
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ OPS = [
 ]
 
 GEN_SQL = """
+-- {stopwords}: '1=1' mixes stopwords in, '1=0' leaves pure-random text
 SELECT doc_id,
        base_text AS text,
        array('en','de','fr','es','zh')[pmod(doc_id, 5)] AS lang,
@@ -47,11 +55,17 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, seed_id,
          array_join(transform(sequence(1, 40 + pmod(seed_id * 2654435761, 161)),
-           i -> concat('w', pmod(cast(conv(substring(md5(concat(
-                  cast(seed_id AS string), ':', cast(i AS string))), 1, 8),
-                  16, 10) AS bigint)
-                  + CASE WHEN near_dup AND pmod(i, 16) = 0 THEN 1 ELSE 0 END,
-                  4096))), ' ') AS base_text
+           i -> CASE WHEN {stopwords} AND pmod(i, 6) = 0 THEN
+                  element_at(array('the','and','of','to','a','is','in','it'),
+                    cast(pmod(seed_id + i, 8) + 1 AS int))
+                ELSE
+                  concat('w', pmod(cast(conv(substring(md5(concat(
+                    cast(seed_id AS string), ':', cast(i AS string))), 1, 8),
+                    16, 10) AS bigint)
+                    + CASE WHEN near_dup AND pmod(i, 16) = 0
+                      THEN 1 ELSE 0 END,
+                    4096))
+                END), ' ') AS base_text
   FROM (
     SELECT id AS doc_id,
            CASE WHEN pmod(id, 50) = 1 THEN id - 1       -- exact dup
@@ -64,7 +78,8 @@ FROM (
 """
 
 
-def run_level(n_docs: int, cores: int, docs_path: str) -> dict:
+def run_level(n_docs: int, cores: int, docs_path: str,
+              stopwords: str = '1=0') -> dict:
     from pyspark.sql import SparkSession
 
     from crawler_spark.queries import all_queries
@@ -79,9 +94,9 @@ def run_level(n_docs: int, cores: int, docs_path: str) -> dict:
         .getOrCreate()
     )
     if not os.path.exists(docs_path):
-        spark.sql(GEN_SQL.format(n=n_docs)).repartition(64).write.parquet(
-            docs_path
-        )
+        spark.sql(
+            GEN_SQL.format(n=n_docs, stopwords=stopwords)
+        ).repartition(64).write.parquet(docs_path)
     sf_dir = os.path.dirname(docs_path)
     # warm the page cache / JVM before timing (the first op otherwise
     # absorbs parquet cold-read + codegen warmup and skews one level)
@@ -106,9 +121,12 @@ def run_level(n_docs: int, cores: int, docs_path: str) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1])
-    levels = [int(x) for x in sys.argv[2:]]
-    docs_path = f"/tmp/ops-scale-{n_docs}/documents.parquet"
+    args = [a for a in sys.argv[1:] if a != "--stopwords"]
+    sw = "1=1" if "--stopwords" in sys.argv else "1=0"
+    n_docs = int(args[0])
+    levels = [int(x) for x in args[1:]]
+    suffix = "-sw" if sw == "1=1" else ""
+    docs_path = f"/tmp/ops-scale-{n_docs}{suffix}/documents.parquet"
     os.makedirs(os.path.dirname(docs_path), exist_ok=True)
     results = []
     for cores in levels:
@@ -120,8 +138,8 @@ def main() -> None:
                 sys.executable, "-c",
                 "import sys; sys.path.insert(0, %r); "
                 "from scripts.ops_scale import run_level; import json; "
-                "print('RESULT ' + json.dumps(run_level(%d, %d, %r)))"
-                % (REPO, n_docs, cores, docs_path),
+                "print('RESULT ' + json.dumps(run_level(%d, %d, %r, %r)))"
+                % (REPO, n_docs, cores, docs_path, sw),
             ],
             capture_output=True, text=True,
         )
