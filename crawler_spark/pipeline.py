@@ -53,6 +53,37 @@ def _rebind(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _stage_load(
+    spark: SparkSession, out_dir: str | None, stage: str
+) -> DataFrame | None:
+    """Return the committed survivor frame for ``stage`` (ids joined
+    back onto the current documents view) if the stage already ran
+    with this out_dir, else None."""
+    if out_dir is None:
+        return None
+    final = os.path.join(out_dir, "stages", stage)
+    if not os.path.isdir(final):
+        return None
+    ids = spark.read.parquet(final)
+    return spark.table("documents").join(ids, "doc_id")
+
+
+def _stage_commit(
+    out_dir: str | None, stage: str, docs: DataFrame
+) -> None:
+    """Crash-safe stage boundary: write the survivor ids to a temp
+    name, then atomic rename — the Iceberg-commit pattern
+    statestore.py uses. A kill mid-write leaves only the .tmp dir,
+    which the next run overwrites; the committed name appears whole
+    or not at all."""
+    if out_dir is None:
+        return
+    final = os.path.join(out_dir, "stages", stage)
+    tmp = final + ".tmp"
+    docs.select("doc_id").write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
+
+
 def run_training_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -60,42 +91,72 @@ def run_training_pipeline(
 ) -> tuple[DataFrame, dict]:
     """Run the full curation flow over ``documents`` (schema: doc_id,
     text, lang, source, n_chars). Returns (packed frame, per-stage row
-    accounting). ``out_dir``: also write lang-partitioned shards."""
+    accounting). ``out_dir``: write lang-partitioned shards AND
+    per-stage survivor checkpoints — a re-run with the same out_dir
+    resumes after the last committed stage instead of recomputing
+    (the crawl engine's resume-exactness contract, applied to the
+    curation flow)."""
     counts: dict[str, int] = {}
     docs = _rebind(spark, documents)
     counts["input"] = docs.count()
 
     # 1. Gopher document-shape quality gate (q:text_gopher_rules)
-    keep_ids = spark.sql(textstats.gopher_rules_spark()).where(
-        F.col("keep") == 1
-    )
-    docs = _rebind(spark, docs.join(keep_ids.select("doc_id"), "doc_id"))
+    loaded = _stage_load(spark, out_dir, "quality_gate")
+    if loaded is None:
+        keep_ids = spark.sql(textstats.gopher_rules_spark()).where(
+            F.col("keep") == 1
+        )
+        docs = docs.join(keep_ids.select("doc_id"), "doc_id")
+        _stage_commit(out_dir, "quality_gate", docs)
+    else:
+        docs = loaded
+    docs = _rebind(spark, docs)
     counts["quality_gate"] = docs.count()
 
     # 2. exact dedup: first-wins per content hash (q:dedup_exact rule)
-    first = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    docs = _rebind(spark, docs.join(first, "doc_id"))
+    loaded = _stage_load(spark, out_dir, "exact_dedup")
+    if loaded is None:
+        first = (
+            docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        docs = docs.join(first, "doc_id")
+        _stage_commit(out_dir, "exact_dedup", docs)
+    else:
+        docs = loaded
+    docs = _rebind(spark, docs)
     counts["exact_dedup"] = docs.count()
 
     # 3. near-dup dedup: LSH pairs → components → canonical per cluster
     #    (q:dedup_minhash_lsh candidates, q:dedup_components closure)
-    pairs = _run_views(spark, *dedup.minhash_lsh_views_spark()).select(
-        "doc_a", "doc_b"
-    )
-    comps = cluster.connected_components(docs.select("doc_id"), pairs)
-    canon = comps.where(F.col("doc_id") == F.col("comp_id")).select("doc_id")
-    docs = _rebind(spark, docs.join(canon, "doc_id"))
+    loaded = _stage_load(spark, out_dir, "near_dup_dedup")
+    if loaded is None:
+        pairs = _run_views(spark, *dedup.minhash_lsh_views_spark()).select(
+            "doc_a", "doc_b"
+        )
+        comps = cluster.connected_components(docs.select("doc_id"), pairs)
+        canon = comps.where(F.col("doc_id") == F.col("comp_id")).select(
+            "doc_id"
+        )
+        docs = docs.join(canon, "doc_id")
+        _stage_commit(out_dir, "near_dup_dedup", docs)
+    else:
+        docs = loaded
+    docs = _rebind(spark, docs)
     counts["near_dup_dedup"] = docs.count()
 
     # 4. CCNet perplexity gate: drop the tail tercile per language
     #    (q:text_ccnet_buckets)
-    buckets = _run_views(spark, *textstats.ccnet_buckets_views_spark())
-    keep = buckets.where(F.col("bucket") != "tail").select("doc_id")
-    docs = _rebind(spark, docs.join(keep, "doc_id"))
+    loaded = _stage_load(spark, out_dir, "ccnet_gate")
+    if loaded is None:
+        buckets = _run_views(spark, *textstats.ccnet_buckets_views_spark())
+        keep = buckets.where(F.col("bucket") != "tail").select("doc_id")
+        docs = docs.join(keep, "doc_id")
+        _stage_commit(out_dir, "ccnet_gate", docs)
+    else:
+        docs = loaded
+    docs = _rebind(spark, docs)
     counts["ccnet_gate"] = docs.count()
 
     # 5. LM sequence packing over the survivors (q:text_pack_sequences)

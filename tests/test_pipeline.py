@@ -91,3 +91,55 @@ def test_pipeline_survivors_pass_every_gate(spark):
         .collect()
     }
     assert packed_ids <= gopher_keep
+
+
+def test_pipeline_resume_from_committed_stages(spark, tmp_path):
+    """Stage checkpoints drive a resumed run: after a full run, replace
+    one committed stage's survivor ids and re-run with the same
+    out_dir — the output must follow the committed ids (proof the
+    stage was LOADED, not recomputed), and an uncommitted .tmp dir
+    from a simulated mid-write kill is ignored."""
+    import os
+
+    from crawler_spark.pipeline import run_training_pipeline
+
+    out = str(tmp_path / "state")
+    packed1, counts1 = run_training_pipeline(
+        spark, _docs(spark), out_dir=out
+    )
+    for stage in ("quality_gate", "exact_dedup", "near_dup_dedup",
+                  "ccnet_gate"):
+        assert os.path.isdir(f"{out}/stages/{stage}"), stage
+
+    # identical resume: same input + same out_dir -> identical packing
+    packed2, counts2 = run_training_pipeline(
+        spark, _docs(spark), out_dir=out
+    )
+    assert counts2 == counts1
+    assert sorted(map(tuple, packed2.collect())) == sorted(
+        map(tuple, packed1.collect())
+    )
+
+    # simulated mid-write kill: a stray .tmp must not affect the run
+    os.makedirs(f"{out}/stages/ccnet_gate.tmp", exist_ok=True)
+
+    # inject a truncated ccnet survivor set; the resumed run must
+    # follow it exactly (stages are authoritative once committed)
+    keep = (
+        spark.read.parquet(f"{out}/stages/ccnet_gate")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+    injected = {r.doc_id for r in keep.collect()}  # materialize pre-swap
+    keep.write.mode("overwrite").parquet(f"{out}/stages/ccnet_gate_new")
+    import shutil
+
+    shutil.rmtree(f"{out}/stages/ccnet_gate")
+    os.replace(f"{out}/stages/ccnet_gate_new", f"{out}/stages/ccnet_gate")
+
+    packed3, counts3 = run_training_pipeline(
+        spark, _docs(spark), out_dir=out
+    )
+    assert counts3["ccnet_gate"] == 50
+    assert counts3["packed_docs"] == 50
+    assert {r.doc_id for r in packed3.select("doc_id").collect()} == injected
