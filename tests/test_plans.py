@@ -275,3 +275,73 @@ def test_hll_sketch_partial_agg_and_broadcast(spark):
     plan = _plan(all_queries()["sketch_hll_vocab"].run(spark, SF_DIR))
     assert "partial_sum(shiftleft" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_urlseen_join_avoids_shuffle(spark, tmp_path):
+    """The 10^10-key co-location path the README promises: url_seen and
+    the candidate relation bucketed by url into the same bucket count
+    join WITHOUT an Exchange on either side (bucketing IS the shuffle,
+    paid once at write time — every subsequent superstep's anti-join
+    reads co-located buckets). Broadcast disabled to force the
+    sort-merge path a 10^10-row seen-set would take."""
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}'"
+    )
+    try:
+        urls = spark.range(0, 10_000).select(
+            F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                     F.lit(".test/p"), F.col("id").cast("string"))
+            .alias("url")
+        )
+        (urls.write.mode("overwrite").bucketBy(8, "url")
+             .sortBy("url").saveAsTable("bucketdemo.url_seen_b"))
+        (urls.where(F.rand(42) < 0.3).write.mode("overwrite")
+             .bucketBy(8, "url").sortBy("url")
+             .saveAsTable("bucketdemo.candidates_b"))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            anti = spark.table("bucketdemo.candidates_b").join(
+                spark.table("bucketdemo.url_seen_b"), "url", "left_anti"
+            )
+            plan = _plan(anti)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_runtime_bloom_filter_on_fetch_join_shape(spark):
+    """The other half of the README's cluster-scale fetch-join claim:
+    when the probe side is a big scan (emulated by flooring the
+    application-side threshold — production default is 10GB, above
+    this sandbox's inputs but below any real pages table), Catalyst
+    injects a runtime bloom filter built from the selective side into
+    the big side's scan (bloom_filter_agg + might_contain) — rows that
+    cannot join die at the scan, before the shuffle."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
