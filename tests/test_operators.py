@@ -547,3 +547,72 @@ def test_simhash_block_combination_banding_exact(spark):
         ).collect()
     }
     assert m1 == m2 and m1
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """§2.9 late-data contract: once the watermark (10 min) passes a
+    5-minute window's end, a straggler for that window is DROPPED — in
+    append mode the window finalizes exactly once, without the late
+    row. Re-crawled pages arriving hours late must not corrupt
+    committed per-epoch aggregates."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    def ev(ts, value):
+        return {
+            "event_id": 1,
+            "ts": datetime(2026, 1, 1, *ts),
+            "user_id": 1,
+            "event_type": "view",
+            "value": value,
+            "props": "{}",
+        }
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    # trigger 1: two rows in the 10:00 window, then one at 10:40 that
+    # advances the watermark to 10:30 — past the 10:00 window's end.
+    # (A straggler in the VERY NEXT trigger may still merge: dropping
+    # is best-effort until the state is evicted, per the Structured
+    # Streaming watermark contract.)
+    b0 = pd.DataFrame([ev((10, 0, 10), 1.0), ev((10, 1, 20), 2.0),
+                       ev((10, 40, 0), 4.0)])
+    # trigger 2: fresh data only — the batch runs with watermark 10:30,
+    # finalizing (evicting + emitting) the 10:00 window
+    b1 = pd.DataFrame([ev((10, 50, 0), 8.0)])
+    # trigger 3: the straggler for the now-FINALIZED window — must be
+    # dropped, never re-opening or double-emitting the window
+    b2 = pd.DataFrame([ev((10, 2, 30), 100.0), ev((11, 0, 0), 16.0)])
+    for i, b in enumerate((b0, b1, b2)):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f"{src}/d={i}")
+
+    from crawler_spark.streaming import windowed_event_agg
+
+    schema = spark.read.parquet(f"{src}/d=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/d=*")
+    )
+    q = (
+        windowed_event_agg(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_windows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT bucket_s, n, total_value FROM late_windows"
+        ).collect()
+    finally:
+        q.stop()
+    t0 = int(datetime(2026, 1, 1, 10, 0).timestamp())
+    mine = [(r.n, r.total_value) for r in emitted if r.bucket_s == t0]
+    # the 10:00 window finalized EXACTLY ONCE, with the two on-time
+    # rows only — the 100.0 straggler neither merged nor re-opened it
+    assert mine == [(2, 3.0)], emitted

@@ -345,3 +345,50 @@ def test_runtime_bloom_filter_on_fetch_join_shape(spark):
             "applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_megahost_join(spark):
+    """Skew handling beyond the politeness salter: AQE's skew-join must
+    split a mega-host partition at runtime (SortMergeJoin(skew=true) in
+    the final adaptive plan). Thresholds are scaled down to this
+    sandbox's data volume; the mechanism — one key carrying 100× the
+    median partition — is exactly the frontier's mega-host shape."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        frontier = (
+            spark.range(0, 200_000)
+            .select(F.lit("mega.test").alias("host"),
+                    F.col("id").alias("v"))
+            .union(
+                spark.range(1, 2000).select(
+                    F.concat(F.lit("h"), F.col("id").cast("string"))
+                    .alias("host"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        budgets = spark.range(0, 2000).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            (F.col("id") * 2).alias("k"),
+        ).union(
+            spark.range(0, 1).select(
+                F.lit("mega.test").alias("host"), F.lit(5).alias("k")
+            )
+        )
+        j = frontier.join(budgets, "host").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
