@@ -22,6 +22,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="documents parquet path")
     ap.add_argument("--out", required=True, help="output shard directory")
+    ap.add_argument(
+        "--fresh", action="store_true",
+        help="wipe committed stage checkpoints and recompute from scratch "
+             "(default: resume after the last committed stage)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -33,6 +38,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(os.path.join(args.out, "stages"), ignore_errors=True)
     t0 = time.monotonic()
     docs = spark.read.parquet(args.docs)
     _, counts = run_training_pipeline(spark, docs, out_dir=args.out)
