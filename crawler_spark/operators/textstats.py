@@ -410,7 +410,7 @@ scored AS (
   FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(nll_milli) AS sum_nll_milli,
+       cast(sum(nll_milli) AS BIGINT) AS sum_nll_milli,
        round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
          AS nll_per_token
 FROM scored GROUP BY doc_id
@@ -438,7 +438,7 @@ scored AS (
   FROM ulp_toks_v t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(nll_milli) AS sum_nll_milli,
+       cast(sum(nll_milli) AS BIGINT) AS sum_nll_milli,
        round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
          AS nll_per_token
 FROM scored GROUP BY doc_id
@@ -458,7 +458,7 @@ scored AS (
   FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(nll_milli) AS sum_nll_milli,
+       cast(sum(nll_milli) AS BIGINT) AS sum_nll_milli,
        round(cast(sum(nll_milli) AS double) / (1000 * count(*)), 4)
          AS nll_per_token
 FROM scored GROUP BY doc_id
@@ -553,7 +553,7 @@ SOURCE_STATS_SPARK = """
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
        count(text) - count(DISTINCT md5(text)) AS n_dup_docs,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
@@ -596,9 +596,10 @@ WITH d AS (
   FROM documents),
 c AS (
   SELECT doc_id, lang, shard, n_tok,
-         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) - n_tok AS tok_start
+         cast(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+            AS BIGINT) - n_tok AS tok_start
   FROM d)
 SELECT doc_id, lang, shard, n_tok, tok_start,
        tok_start div {_PACK_SEQ_LEN} AS seq_id,
@@ -614,9 +615,10 @@ WITH d AS (
   FROM documents),
 c AS (
   SELECT doc_id, lang, shard, n_tok,
-         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) - n_tok AS tok_start
+         cast(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+            AS BIGINT) - n_tok AS tok_start
   FROM d)
 SELECT doc_id, lang, shard, n_tok, tok_start,
        tok_start // {_PACK_SEQ_LEN} AS seq_id,
@@ -653,7 +655,7 @@ scored AS (
            AS nll_milli
   FROM ccb_toks_v t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
 doc AS (
-  SELECT doc_id, count(*) AS n_tokens, sum(nll_milli) AS s
+  SELECT doc_id, count(*) AS n_tokens, cast(sum(nll_milli) AS BIGINT) AS s
   FROM scored GROUP BY doc_id),
 b AS (
   SELECT d.doc_id, docs.lang, (d.s * 1000) div d.n_tokens AS score_micro,
@@ -679,7 +681,7 @@ scored AS (
            AS nll_milli
   FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
 doc AS (
-  SELECT doc_id, count(*) AS n_tokens, sum(nll_milli) AS s
+  SELECT doc_id, count(*) AS n_tokens, cast(sum(nll_milli) AS BIGINT) AS s
   FROM scored GROUP BY doc_id),
 b AS (
   SELECT d.doc_id, docs.lang, (d.s * 1000) // d.n_tokens AS score_micro,

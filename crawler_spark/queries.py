@@ -469,8 +469,9 @@ WITH g AS (
   FROM events),
 se AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id,
        unix_millis(cast(min(ts) AS timestamp)) AS session_start_ms,
@@ -488,8 +489,9 @@ WITH g AS (
   FROM events),
 se AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id,
        epoch_ms(min(ts)) AS session_start_ms,
@@ -511,7 +513,8 @@ _REL["w3_hopping_window"] = Query(
 SELECT unix_timestamp(window(ts, '10 minutes', '5 minutes').start) AS ws,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(cast(round(value * 100, 0) AS bigint)) AS value_cents
+       cast(sum(cast(round(value * 100, 0) AS bigint)) AS BIGINT)
+         AS value_cents
 FROM events
 GROUP BY window(ts, '10 minutes', '5 minutes')
 """,
@@ -522,7 +525,8 @@ WITH x AS (
 SELECT ws,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(cast(round(value * 100, 0) AS bigint)) AS value_cents
+       cast(sum(cast(round(value * 100, 0) AS bigint)) AS BIGINT)
+         AS value_cents
 FROM x GROUP BY ws
 """,
 )
@@ -601,11 +605,12 @@ _REL["events_retention"] = Query(
 _ANOMALY_SQL = """
 WITH d AS (SELECT event_type, cast(ts AS date) AS day, count(*) AS cnt
            FROM events GROUP BY event_type, cast(ts AS date)),
-st AS (SELECT event_type, count(*) AS n, sum(cnt) AS s,
-              sum(cnt * cnt) AS s2
+st AS (SELECT event_type, count(*) AS n,
+              cast(sum(cnt) AS BIGINT) AS s,
+              cast(sum(cnt * cnt) AS BIGINT) AS s2
        FROM d GROUP BY event_type)
 SELECT d.event_type, d.day, d.cnt,
-       d.cnt * st.n - st.s AS dev_n,
+       cast(d.cnt * st.n - st.s AS BIGINT) AS dev_n,
        CASE WHEN (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
                  > 9 * (st.n * st.s2 - st.s * st.s)
             THEN 1 ELSE 0 END AS is_anomaly
@@ -626,8 +631,9 @@ _ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, '(all)') AS returnflag,
        coalesce(l_linestatus, '(all)') AS linestatus,
        count(*) AS n_items,
-       sum(cast(round(l_extendedprice * 100, 0) AS bigint)) AS revenue_cents,
-       sum(cast(l_quantity AS bigint)) AS total_qty
+       cast(sum(cast(round(l_extendedprice * 100, 0) AS bigint)) AS BIGINT)
+         AS revenue_cents,
+       cast(sum(cast(l_quantity AS bigint)) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -678,8 +684,8 @@ d AS (
 s AS (
   SELECT user_id,
          count(*) AS n_obs,
-         sum(CASE WHEN prev IS NOT NULL AND ver IS DISTINCT FROM prev
-                  THEN 1 ELSE 0 END) AS n_changes,
+         cast(sum(CASE WHEN prev IS NOT NULL AND ver IS DISTINCT FROM prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
          max(ms) - min(ms) AS span_ms,
          max(ms) AS last_ms
   FROM d GROUP BY user_id),
