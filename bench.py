@@ -88,15 +88,41 @@ def _force(df) -> int:
     return df.write.mode("overwrite").format("noop").save() or 0
 
 
+def _clear_session_state(spark) -> None:
+    """Drop accumulated block-manager state between timed queries.
+
+    Two sources of cross-query contamination in a single shared JVM:
+    cached relations (clearCache) and the localCheckpoint blocks the
+    _views_fn queries persist and never release (visible as monotonic
+    storage-memory growth across a 46-query session — the r1→r2
+    micro-query drift suspect, VERDICT r2 §What's wrong #4)."""
+    spark.catalog.clearCache()
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values().toArray():
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the bench over it
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from crawler_spark.queries import all_queries
 
     qs = all_queries()
+    # best-of-N (default 2): the host is shared and wall clock swings
+    # ±25% shot to shot, so a single sample conflates plan cost with
+    # steal; the min over isolated repeats is the stable signal
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _force(qs[name].run(spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            _clear_session_state(spark)
+            t0 = time.monotonic()
+            _force(qs[name].run(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
+    _clear_session_state(spark)
     return times
 
 

@@ -120,3 +120,39 @@ def test_rows_only_queries_run(spark):
         if q.oracle is None:
             df = q.run(spark, SF_DIR)
             assert df.count() >= 0, name
+
+
+def test_driver_window_covers_unverified():
+    """The round driver oracle-checks only the first 50 registered
+    queries() entries, so registration order is an exposure budget:
+    every entry WITHOUT a fully-green row in the latest CORRECTNESS
+    file must sit inside the leading 50 slots (and the flagship crawl
+    must be first, having lost its row in round 2 by sitting last)."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry
+
+    ordered = list(entry.queries())
+    assert ordered[0] == "crawl_flagship"
+    reports = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_r*.json")))
+    if not reports:
+        pytest.skip("no driver CORRECTNESS report yet")
+    with open(reports[-1]) as f:
+        rows = json.load(f)
+    green = {
+        k for k, v in rows.items()
+        if v.get("rows_match") and v.get("schema_match")
+        and v.get("hash_match")
+    }
+    needing_exposure = [k for k in ordered if k not in green]
+    if len(needing_exposure) > 50:
+        pytest.skip(f"{len(needing_exposure)} unverified > 50-row window")
+    window = set(ordered[:50])
+    missed = [k for k in needing_exposure if k not in window]
+    assert not missed, (
+        f"unverified entries outside the driver's 50-row check window: "
+        f"{missed} — reorder _FRONT_OF_WINDOW in crawler_spark/queries.py"
+    )
