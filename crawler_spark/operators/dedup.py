@@ -318,6 +318,62 @@ SELECT doc_id, {fp} AS simhash FROM bits
 """
 
 
+# The all-pairs forms below (simhash_pairs_*, embedding_pairs_*) are
+# kept ONLY as exact small-corpus oracles for their banded/LSH twins:
+# they are O(n²) by construction and have no 100 TB story. The guard
+# makes calling one on a big corpus an explicit error instead of a
+# silently quadratic job. Override for deliberate oracle runs via
+# CRAWLER_SPARK_ALL_PAIRS_MAX.
+ALL_PAIRS_DEFAULT_MAX = 20_000
+
+
+def _all_pairs_limit() -> int:
+    import os as _os
+
+    return int(
+        _os.environ.get("CRAWLER_SPARK_ALL_PAIRS_MAX", ALL_PAIRS_DEFAULT_MAX)
+    )
+
+
+def guard_all_pairs(n_rows: int, name: str, scale_twin: str) -> None:
+    limit = _all_pairs_limit()
+    if n_rows > limit:
+        raise ValueError(
+            f"{name} is an exact ALL-PAIRS oracle (O(n²) join) and the "
+            f"input has {n_rows} rows (> {limit}). Use {scale_twin} — "
+            "identical result set, banded candidate generation — or "
+            "raise CRAWLER_SPARK_ALL_PAIRS_MAX for a deliberate oracle "
+            "run on a sampled corpus."
+        )
+
+
+def simhash_pairs_df(spark, sf_dir: str, max_hamming: int = 8):
+    """Guarded runner for the all-pairs SimHash oracle (see
+    guard_all_pairs): counts the corpus before emitting the O(n²)
+    plan. The scale path is simhash_banded_df (m=2 above 10^5 docs)."""
+    import os as _os
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    guard_all_pairs(
+        docs.count(), "dedup_simhash", "dedup_simhash_banded_m2"
+    )
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(simhash_pairs_spark(max_hamming))
+
+
+def embedding_pairs_df(spark, sf_dir: str, threshold: float = 0.35):
+    """Guarded runner for the all-pairs embedding-cosine oracle; the
+    scale path is the hyperplane-LSH twin (dedup_embedding_lsh)."""
+    import os as _os
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    guard_all_pairs(
+        emb.count(), "dedup_embedding_cosine", "dedup_embedding_lsh"
+    )
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql(embedding_pairs_spark(threshold))
+
+
 def simhash_pairs_spark(max_hamming: int = 8) -> str:
     base = simhash_fingerprints_spark()
     return f"""
@@ -428,9 +484,25 @@ def simhash_banded_df(spark, sf_dir: str,
 
     assert 1 <= m < SIMHASH_CHUNKS
     assert max_hamming <= SIMHASH_CHUNKS - m
-    spark.read.parquet(
-        _os.path.join(sf_dir, "documents.parquet")
-    ).createOrReplaceTempView("documents")
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    if m == 1:
+        # measured blow-up regime (scripts/ops_scale.py): 8-bit buckets
+        # put ~n/256 docs per bucket, so candidates grow ~n²/512 — at
+        # 100k docs that's ~10^8 candidate pairs (~144 s at local[32])
+        # vs seconds for m=2's 16-bit buckets. Refuse past the knee
+        # instead of silently going quadratic; m=2 is exact for d ≤ 6.
+        limit = int(
+            _os.environ.get("CRAWLER_SPARK_BANDED_M1_MAX", "50000")
+        )
+        n_docs = docs.count()
+        if n_docs > limit:
+            raise ValueError(
+                f"dedup_simhash_banded (m=1, 8-bit buckets) hits its "
+                f"measured candidate blow-up above ~{limit} docs (input: "
+                f"{n_docs}). Use dedup_simhash_banded_m2 (exact for "
+                "hamming ≤ 6) or raise CRAWLER_SPARK_BANDED_M1_MAX."
+            )
+    docs.createOrReplaceTempView("documents")
     width = 64 // SIMHASH_CHUNKS
     fp = (
         spark.sql(simhash_fingerprints_spark())

@@ -850,7 +850,10 @@ _TRAIN: dict[str, Query] = {
         oracle=dedup.simhash_fingerprints_duck(),
     ),
     "dedup_simhash": Query(
-        spark_sql=dedup.simhash_pairs_spark(), oracle=dedup.simhash_pairs_duck()
+        # exact all-pairs ORACLE for the banded twins — guarded: refuses
+        # corpora past CRAWLER_SPARK_ALL_PAIRS_MAX instead of going O(n²)
+        fn=lambda spark, sf_dir: dedup.simhash_pairs_df(spark, sf_dir),
+        oracle=dedup.simhash_pairs_duck(),
     ),
     "dedup_simhash_banded": Query(
         fn=lambda spark, sf_dir: dedup.simhash_banded_df(spark, sf_dir),
@@ -867,7 +870,9 @@ _TRAIN: dict[str, Query] = {
         oracle=dedup.simhash_pairs_duck(6),
     ),
     "dedup_embedding_cosine": Query(
-        spark_sql=dedup.embedding_pairs_spark(),
+        # exact all-pairs ORACLE for the LSH twin — guarded like
+        # dedup_simhash
+        fn=lambda spark, sf_dir: dedup.embedding_pairs_df(spark, sf_dir),
         oracle=dedup.embedding_pairs_duck(),
     ),
     "dedup_embedding_lsh": Query(

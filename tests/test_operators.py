@@ -549,6 +549,32 @@ def test_simhash_block_combination_banding_exact(spark):
     assert m1 == m2 and m1
 
 
+def test_all_pairs_guards_refuse_large_corpora(spark, monkeypatch):
+    """The exact all-pairs oracles (dedup_simhash, dedup_embedding_
+    cosine) and the 8-bit m=1 banding have measured quadratic regimes;
+    the registered queries must refuse past their bounds with a pointer
+    to the scale twin instead of silently launching an O(n²) job."""
+    from crawler_spark.operators import dedup
+
+    monkeypatch.setenv("CRAWLER_SPARK_ALL_PAIRS_MAX", "10")
+    with pytest.raises(ValueError, match="dedup_simhash_banded_m2"):
+        dedup.simhash_pairs_df(spark, SF_DIR)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.embedding_pairs_df(spark, SF_DIR)
+
+    monkeypatch.setenv("CRAWLER_SPARK_BANDED_M1_MAX", "10")
+    with pytest.raises(ValueError, match="dedup_simhash_banded_m2"):
+        dedup.simhash_banded_df(spark, SF_DIR, max_hamming=6, m=1)
+    # m=2 (the scale path) is NOT gated by the m=1 bound
+    assert dedup.simhash_banded_df(
+        spark, SF_DIR, max_hamming=6, m=2
+    ).count() >= 0
+
+    # under the bounds the oracles still run
+    monkeypatch.setenv("CRAWLER_SPARK_ALL_PAIRS_MAX", "1000000")
+    assert dedup.simhash_pairs_df(spark, SF_DIR).count() >= 0
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """§2.9 late-data contract: once the watermark (10 min) passes a
     5-minute window's end, a straggler for that window is DROPPED — in
