@@ -27,7 +27,9 @@ picks via AQE — ids are a single bigint column either way).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,12 +55,61 @@ def _rebind(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _input_fingerprint(docs: DataFrame) -> dict:
+    """Cheap deterministic identity of the input corpus: row count +
+    doc_id range + an order-insensitive crc sum. One narrow distributed
+    agg over a single bigint column — negligible next to any stage."""
+    row = docs.agg(
+        F.count("doc_id").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("crc"),
+    ).collect()[0]
+    return {
+        "n": row["n"],
+        "lo": None if row["lo"] is None else int(row["lo"]),
+        "hi": None if row["hi"] is None else int(row["hi"]),
+        "crc": None if row["crc"] is None else int(row["crc"]),
+    }
+
+
+def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
+    """Fence stage resume to the corpus it was computed on: ADVICE r2 —
+    re-running with the same out_dir but a different --docs input would
+    silently join stale committed survivor ids onto the new corpus.
+    First run records the fingerprint; a later run with a different
+    input refuses to resume instead of producing wrong-but-plausible
+    output."""
+    if out_dir is None:
+        return
+    stages = os.path.join(out_dir, "stages")
+    path = os.path.join(stages, "_input_fingerprint.json")
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            committed = json.load(f)
+        if committed != fp:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds stage checkpoints for a "
+                f"different input corpus (committed {committed}, current "
+                f"{fp}); refusing to resume onto mismatched survivors — "
+                "rerun with --fresh (or a new --out) to recompute."
+            )
+        return
+    os.makedirs(stages, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(fp, f)
+    os.replace(tmp, path)
+
+
 def _stage_load(
     spark: SparkSession, out_dir: str | None, stage: str
 ) -> DataFrame | None:
     """Return the committed survivor frame for ``stage`` (ids joined
     back onto the current documents view) if the stage already ran
-    with this out_dir, else None."""
+    with this out_dir, else None. Resume is fenced by
+    ``_check_fingerprint``: run_training_pipeline refuses earlier if
+    the committed checkpoints belong to a different input corpus."""
     if out_dir is None:
         return None
     final = os.path.join(out_dir, "stages", stage)
@@ -75,12 +126,18 @@ def _stage_commit(
     name, then atomic rename — the Iceberg-commit pattern
     statestore.py uses. A kill mid-write leaves only the .tmp dir,
     which the next run overwrites; the committed name appears whole
-    or not at all."""
+    or not at all. Local-POSIX-filesystem semantics only (os.replace
+    on directories): at 100 TB the stage boundary is an Iceberg table
+    commit, not a directory rename. A pre-existing committed dir (a
+    manually restored or partially copied stage) is removed first —
+    _stage_load keyed on it before we got here, so reaching this line
+    means the stage is being recomputed and the old dir is stale."""
     if out_dir is None:
         return
     final = os.path.join(out_dir, "stages", stage)
     tmp = final + ".tmp"
     docs.select("doc_id").write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
 
 
@@ -98,7 +155,9 @@ def run_training_pipeline(
     curation flow)."""
     counts: dict[str, int] = {}
     docs = _rebind(spark, documents)
-    counts["input"] = docs.count()
+    fp = _input_fingerprint(docs)
+    counts["input"] = fp["n"]
+    _check_fingerprint(out_dir, fp)
 
     # 1. Gopher document-shape quality gate (q:text_gopher_rules)
     loaded = _stage_load(spark, out_dir, "quality_gate")

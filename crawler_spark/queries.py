@@ -661,11 +661,14 @@ FROM d JOIN st ON d.event_type = st.event_type
 """
 
 _REL["events_anomaly"] = Query(
-    # daily-volume anomaly detection per event type: population z-score
-    # > 3 evaluated ENTIRELY in integers via cross-multiplication
-    # ((c·n − S)² > 9(n·S2 − S²)) — no float mean/stddev accumulation
-    # order to disagree on. Two hash aggs + a broadcast-able per-type
-    # stats join; the ops-monitoring query a crawl fleet runs nightly.
+    # daily-volume anomaly detection per event type: TWO-SIDED population
+    # z-score |z| > 3 (the squared cross-multiplication flags anomalously
+    # LOW-volume days as well as spikes — both are incidents for a crawl
+    # fleet: a silent-fetcher day matters as much as a loop storm),
+    # evaluated ENTIRELY in integers via ((c·n − S)² > 9(n·S2 − S²)) — no
+    # float mean/stddev accumulation order to disagree on; dev_n carries
+    # the sign so a consumer can split spike from drought. Two hash aggs
+    # + a broadcast-able per-type stats join.
     spark_sql=_ANOMALY_SQL,
     oracle=_ANOMALY_SQL,
 )

@@ -149,31 +149,41 @@ SEEN_OUT_SCHEMA = StructType(
     ]
 )
 
-# per-host state: the sorted set of 63-bit md5 prefixes of seen urls —
-# the streaming twin of the engine's partitioned bloom/cuckoo URL-seen
-# (exact here: state is per-host-bounded, and Structured Streaming
-# checkpoints it crash-safely like the batch engine's manifest commits)
+# per-host state: the sorted set of FULL 128-bit md5 digests of seen
+# urls, stored as interleaved (hi, lo) signed-long pairs — the streaming
+# twin of the engine's partitioned bloom/cuckoo URL-seen, but EXACT: a
+# false "seen" would need an md5 collision between two distinct URLs on
+# one host, which is a correctness event for md5 itself, not a sampling
+# artifact (an earlier revision kept only 63-bit prefixes, whose
+# ~2^-63-per-pair collisions could silently drop novel URLs — ADVICE r2).
+# State is per-host-bounded and Structured Streaming checkpoints it
+# crash-safely like the batch engine's manifest commits.
 SEEN_STATE_SCHEMA = StructType(
     [StructField("seen", ArrayType(LongType()))]
 )
 
 
-def _url_h63(url: str) -> int:
+def _url_h128(url: str) -> tuple:
     import hashlib
+    import struct
 
-    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:16], 16) >> 1
+    return struct.unpack(">qq", hashlib.md5(url.encode("utf-8")).digest())
 
 
 def _seen_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
-    seen = set(state.get[0]) if state.exists else set()
+    if state.exists:
+        flat = state.get[0]
+        seen = {(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)}
+    else:
+        seen = set()
     out_urls = []
     for pdf in pdfs:
         for u in pdf["url"]:
-            h = _url_h63(u)
+            h = _url_h128(u)
             if h not in seen:
                 seen.add(h)
                 out_urls.append(u)
-    state.update((sorted(seen),))
+    state.update(([v for pair in sorted(seen) for v in pair],))
     yield pd.DataFrame({"host": [key[0]] * len(out_urls), "url": out_urls})
 
 

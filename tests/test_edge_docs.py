@@ -12,24 +12,28 @@ import duckdb
 import pandas as pd
 import pytest
 
+_EDGE_TEXTS = [
+    "",  # empty
+    "   \t\n  ",  # whitespace only
+    "x" * 5000,  # one giant token
+    "the the the the the",  # pure repetition
+    "你好世界 这是 中文 文本 你好",  # CJK
+    "a b c d e f g h i j k l m n o p",  # many 1-char tokens
+    "!!! ??? ... ### $$$ %%%",  # punctuation soup
+    "the quick brown fox jumps over the lazy dog",  # normal
+    "the quick brown fox jumps over the lazy dog",  # exact dup
+    "mixed 中文 and english text with 123 numbers",
+]
+
 EDGE_DOCS = pd.DataFrame(
     {
-        "doc_id": list(range(1, 11)),
-        "text": [
-            "",  # empty
-            "   \t\n  ",  # whitespace only
-            "x" * 5000,  # one giant token
-            "the the the the the",  # pure repetition
-            "你好世界 这是 中文 文本 你好",  # CJK
-            "a b c d e f g h i j k l m n o p",  # many 1-char tokens
-            "!!! ??? ... ### $$$ %%%",  # punctuation soup
-            "the quick brown fox jumps over the lazy dog",  # normal
-            "the quick brown fox jumps over the lazy dog",  # exact dup
-            "mixed 中文 and english text with 123 numbers",
-        ],
+        "doc_id": list(range(1, len(_EDGE_TEXTS) + 1)),
+        "text": _EDGE_TEXTS,
         "lang": ["en"] * 4 + ["zh"] + ["en"] * 4 + ["mx"],
-        "source": ["edge"] * 10,
-        "n_chars": [0, 7, 5000, 19, 14, 31, 23, 43, 43, 41],
+        "source": ["edge"] * len(_EDGE_TEXTS),
+        # derived, not hand-maintained: ADVICE r2 caught stale literals
+        # for the CJK and mixed rows
+        "n_chars": [len(t) for t in _EDGE_TEXTS],
     }
 )
 

@@ -143,3 +143,44 @@ def test_pipeline_resume_from_committed_stages(spark, tmp_path):
     assert counts3["ccnet_gate"] == 50
     assert counts3["packed_docs"] == 50
     assert {r.doc_id for r in packed3.select("doc_id").collect()} == injected
+
+
+def test_pipeline_refuses_resume_onto_different_corpus(spark, tmp_path):
+    """ADVICE r2: same out_dir + different --docs must refuse to resume
+    (stale survivor ids joined onto a new corpus would be
+    wrong-but-plausible), and the error must point at --fresh."""
+    import pytest
+
+    from crawler_spark.pipeline import run_training_pipeline
+
+    out = str(tmp_path / "state")
+    run_training_pipeline(spark, _docs(spark).limit(120), out_dir=out)
+
+    other = _docs(spark).where(F.col("doc_id") % 2 == 0).limit(120)
+    with pytest.raises(ValueError, match="--fresh"):
+        run_training_pipeline(spark, other, out_dir=out)
+
+    # the fence is input identity, not object identity: the SAME corpus
+    # loaded fresh resumes fine
+    run_training_pipeline(spark, _docs(spark).limit(120), out_dir=out)
+
+
+def test_stage_commit_overwrites_stale_committed_dir(spark, tmp_path):
+    """ADVICE r2: os.replace(tmp, final) raises ENOTEMPTY on a
+    pre-existing non-empty final dir (e.g. manually restored stage);
+    _stage_commit must overwrite it."""
+    import os
+
+    from crawler_spark.pipeline import _stage_commit
+
+    out = str(tmp_path)
+    stale = os.path.join(out, "stages", "quality_gate")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.txt"), "w") as f:
+        f.write("manually restored partial copy")
+
+    docs = _docs(spark).limit(10)
+    _stage_commit(out, "quality_gate", docs)
+    committed = spark.read.parquet(stale)
+    assert committed.count() == 10
+    assert not os.path.exists(os.path.join(stale, "junk.txt"))
