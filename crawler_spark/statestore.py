@@ -24,6 +24,7 @@ removal. Lineage/counters land in the ``checkpoints`` table.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -31,6 +32,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from . import schemas
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another StateStore committed to this root since we loaded it —
+    committing now would silently fork history (split brain)."""
 
 # url_seen is DERIVED from crawl_log (url, superstep projection) — one
 # physical write per superstep serves both tables.
@@ -53,6 +59,9 @@ class StateStore:
             shutil.rmtree(root)
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
+        # fencing token: the commit_seq we believe is on disk. commit()
+        # only lands if the on-disk manifest still carries this value.
+        self._commit_seq = self.manifest.get("commit_seq", 0)
         self._cleanup_uncommitted()
         # superstep chains write different tables from driver threads;
         # plain list ops are GIL-atomic but compact()'s read-modify-write
@@ -70,6 +79,7 @@ class StateStore:
                 return json.load(f)
         return {
             "superstep": 0,
+            "commit_seq": 0,
             "tables": {t: [] for t in TABLES},
             "frontier": None,
             "bloom": None,
@@ -77,15 +87,41 @@ class StateStore:
         }
 
     def commit(self) -> None:
-        """Atomic manifest swap — THE commit point of a superstep."""
+        """Atomic manifest swap — THE commit point of a superstep.
+
+        Fenced against concurrent writers (SURVEY §7.3-5, VERDICT r2
+        item 9): the swap is a compare-and-set on ``commit_seq`` — under
+        an exclusive flock we re-read the on-disk manifest and refuse
+        with ConcurrentWriterError if any other StateStore committed
+        since this one loaded, so two engines pointed at one state dir
+        cannot each believe their superstep landed (split-brain
+        double-commit). The loser's staged delta dirs are unreferenced
+        by the surviving manifest and are GC'd on next open, exactly
+        like a killed superstep's partial writes. flock is the local-
+        POSIX stand-in for what is an atomic catalog pointer CAS on
+        Iceberg — the optimistic-concurrency model is identical.
+        """
         # concurrent chains append their delta paths in scheduler order;
         # sort for a run-order-independent (deterministic) manifest
         for table in self.manifest["tables"]:
             self.manifest["tables"][table].sort()
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        lock_path = os.path.join(self.root, "commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            on_disk = self._load_manifest()
+            if on_disk.get("commit_seq", 0) != self._commit_seq:
+                raise ConcurrentWriterError(
+                    f"state root {self.root!r}: on-disk manifest is at "
+                    f"commit_seq {on_disk.get('commit_seq', 0)} but this "
+                    f"writer expected {self._commit_seq} — another engine "
+                    "has committed here; refusing to overwrite its history."
+                )
+            self._commit_seq += 1
+            self.manifest["commit_seq"] = self._commit_seq
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)
 
     def _cleanup_uncommitted(self) -> None:
         """Remove partial writes from a killed superstep (exact resume)."""

@@ -135,3 +135,59 @@ def test_statestore_rejects_duplicate_delta(spark, tmp_path):
         suffix="cat",
     )
     assert store.read("img_cache").count() == 2
+
+
+def test_statestore_fences_concurrent_writer(spark, tmp_path):
+    """Split-brain fencing at the manifest commit point (VERDICT r2
+    item 9): two stores open the same root, both stage writes, the
+    first commit lands, the second must REFUSE — and the surviving
+    on-disk history must be exactly the winner's, with the loser's
+    staged deltas GC'd on the next open like any uncommitted write."""
+    import json
+    import os
+
+    import pytest
+
+    from crawler_spark.statestore import ConcurrentWriterError, StateStore
+
+    root = str(tmp_path / "fenced")
+    mk = lambda md5, url: spark.createDataFrame(
+        [(md5, url)], "md5_key string, uploaded_url string"
+    )
+
+    a = StateStore(spark, root, fresh=True)
+    b = StateStore(spark, root)  # second engine, same state dir
+
+    a.write_delta("img_cache", mk("ka", "ua"), 1)
+    b.write_delta("img_cache", mk("kb", "ub"), 1, suffix="b")
+    a.commit()
+
+    with pytest.raises(ConcurrentWriterError, match="another engine"):
+        b.commit()
+
+    # on-disk manifest is the winner's, untouched by the loser
+    with open(os.path.join(root, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["commit_seq"] == 1
+    assert [os.path.basename(p) for p in manifest["tables"]["img_cache"]] == [
+        "delta-000001"
+    ]
+
+    # the loser's staged dir exists on disk but is unreferenced, and a
+    # fresh open (the resume path) garbage-collects it
+    staged = os.path.join(root, "img_cache", "delta-000001-b")
+    assert os.path.isdir(staged)
+    c = StateStore(spark, root)
+    assert not os.path.exists(staged)
+    assert [r.md5_key for r in c.read("img_cache").collect()] == ["ka"]
+
+    # the winner keeps committing: seq advances monotonically
+    a.write_delta("img_cache", mk("ka2", "ua2"), 2)
+    a.commit()
+    with open(os.path.join(root, "manifest.json")) as f:
+        assert json.load(f)["commit_seq"] == 2
+
+    # ...but c (opened at seq 1) is now fenced out too
+    c.write_delta("img_cache", mk("kc", "uc"), 2, suffix="c")
+    with pytest.raises(ConcurrentWriterError):
+        c.commit()
