@@ -803,3 +803,232 @@ def script_mix_duck() -> str:
     return _script_mix_sql(
         _script_counts(_CJK_RE_DUCK, "\\s").replace("{G}", ", 'g'")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+# The sequence-length profile every packing / truncation decision is
+# made from: docs bucketed by floor(log2(n_tokens))+1. The bucket is
+# computed as length(bin(n)) — pure integer/string ops, bit-exact in
+# both engines (no libm log2 at power-of-two boundaries). Zero-token
+# docs land in bucket 1 with 1-token docs (bin(0)='0'). Shape: map-side
+# projection + one tiny hash agg (<= 64 buckets) — map-side partial agg
+# collapses everything before the shuffle; constant-size output at any
+# corpus scale.
+
+LENGTH_HIST_SPARK = f"""
+WITH d AS (SELECT cast(size({SPARK_WORDS}) AS bigint) AS n_tok
+           FROM documents)
+SELECT length(bin(n_tok)) AS bucket,
+       count(*) AS n_docs,
+       cast(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(n_tok) AS min_tokens,
+       max(n_tok) AS max_tokens
+FROM d GROUP BY length(bin(n_tok))
+"""
+
+LENGTH_HIST_DUCK = f"""
+WITH d AS (SELECT len({DUCK_WORDS})::BIGINT AS n_tok
+           FROM documents)
+SELECT cast(length(bin(n_tok)) AS bigint) AS bucket,
+       count(*) AS n_docs,
+       cast(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(n_tok) AS min_tokens,
+       max(n_tok) AS max_tokens
+FROM d GROUP BY length(bin(n_tok))
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document word-distribution entropy (gibberish / template filter)
+# ---------------------------------------------------------------------------
+# Low entropy = repeated-token template spam, high = natural text;
+# used alongside the Gopher shape rules. Same millinat discipline as
+# text_unigram_logprob: each distinct token's -ln(c/n) is rounded to
+# integer millinats FIRST (one libm call on identical doubles), the
+# per-doc reduction is then pure integer arithmetic — order-independent
+# under shuffle, hash-stable across engines. Shape: explode ->
+# groupBy(doc,token) -> window over doc partitions -> groupBy(doc);
+# every stage is keyed by doc_id so the three shuffles co-locate, and
+# no relation is referenced twice (no double explode — single chain).
+
+def word_entropy_spark() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, explode({SPARK_WORDS}) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+w AS (SELECT doc_id, c,
+        cast(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok,
+        cast(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+      FROM tc),
+t AS (SELECT doc_id, n_tok, n_distinct,
+        c * cast(round(-ln(cast(c AS double) / n_tok) * 1000, 0) AS bigint)
+          AS term_milli
+      FROM w)
+SELECT doc_id, n_tok AS n_tokens, n_distinct,
+       cast(sum(term_milli) AS BIGINT) AS sum_entropy_milli,
+       cast(floor(cast(sum(term_milli) AS double) * 1000 / n_tok) AS BIGINT)
+         AS entropy_micronats
+FROM t GROUP BY doc_id, n_tok, n_distinct
+"""
+
+
+def word_entropy_duck() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+w AS (SELECT doc_id, c,
+        cast(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok,
+        cast(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+      FROM tc),
+t AS (SELECT doc_id, n_tok, n_distinct,
+        c * cast(round(-ln(cast(c AS double) / n_tok) * 1000, 0) AS bigint)
+          AS term_milli
+      FROM w)
+SELECT doc_id, n_tok AS n_tokens, n_distinct,
+       cast(sum(term_milli) AS BIGINT) AS sum_entropy_milli,
+       cast(floor(cast(sum(term_milli) AS double) * 1000 / n_tok) AS BIGINT)
+         AS entropy_micronats
+FROM t GROUP BY doc_id, n_tok, n_distinct
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-balanced sampling (rate-based, map-side)
+# ---------------------------------------------------------------------------
+# Rebalance a skewed language mix down to the rarest language IN
+# EXPECTATION without any per-language ranking window: per-lang counts
+# are a tiny agg (broadcast back), and each doc keeps/drops by salted
+# md5 bucket with the integer cross-multiplication
+#   bucket * cnt_lang < min_cnt * 2^20
+# so no float rate ever materializes. Unlike an exact-quota rank this
+# is pure map-side after one broadcast — the 100 TB shape (a rank
+# window PARTITION BY lang would funnel each language through one
+# partition). Deterministic per doc: a doc's keep/drop never changes
+# when other docs arrive *within the same census* (cnt is corpus-wide,
+# so it re-rates on growth — by design: the target mix is relative).
+# Overflow-safe: bucket < 2^20 and cnt <= 2^42 keeps the product under
+# 2^63.
+
+_BAL_BUCKETS = 1 << 20
+
+SAMPLE_BALANCED_SPARK = f"""
+WITH lc AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM lc),
+b AS (
+  SELECT d.doc_id, d.lang,
+         cast(conv(substring(md5(concat(cast(d.doc_id AS string), ':bal')),
+                             1, 8), 16, 10) AS bigint) % {_BAL_BUCKETS}
+           AS bucket,
+         lc.cnt, m.min_cnt
+  FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket * cnt < min_cnt * {_BAL_BUCKETS}
+"""
+
+SAMPLE_BALANCED_DUCK = f"""
+WITH lc AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM lc),
+b AS (
+  SELECT d.doc_id, d.lang,
+         ('0x' || substring(md5(d.doc_id::VARCHAR || ':bal'), 1, 8))::BIGINT
+           % {_BAL_BUCKETS} AS bucket,
+         lc.cnt, m.min_cnt
+  FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket * cnt < min_cnt * {_BAL_BUCKETS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score each raw document by how target-like its
+# token distribution is, sum_w log(p_target(w) / p_raw(w)), with
+# features HASHED into a fixed bucket table so the "vocabulary" is
+# constant-size at any corpus scale (here 8192 md5 buckets; DSIR uses
+# 10^4 hashed n-grams). Target distribution: the 'en' slice (stand-in
+# for a curated domain). Laplace +1 smoothing on both sides; the log
+# ratio is ONE libm call on identical doubles rounded to integer
+# millinats, so per-doc sums are integer-exact across engines. The
+# per-token mean is an integer micro-nat floor division (NOT a rounded
+# double): floor(sum*1000/n) on |sum*1000| < 2^53 is provably exact —
+# IEEE division is correctly rounded and the quotient is never within
+# half-ulp of a wrong integer (|a/b - k| >= 1/b >> ulp) — whereas
+# round(x, 4) ties at .00005 split between JVM BigDecimal HALF_UP and
+# DuckDB binary rounding (observed: one doc in 500 at sf0.01).
+# Shape: explode -> two tiny hash aggs (<= 8192 rows each, broadcast
+# back) -> per-doc agg. No pair joins, no windows; the double cast
+# before the ratio keeps 10^14-token counts from overflowing BIGINT
+# products.
+
+_DSIR_BUCKETS = 8192
+_DSIR_TARGET = "lang = 'en'"
+
+
+def _dsir_body() -> str:
+    return f"""
+tgt AS (SELECT b, count(*) AS tf_t FROM toks WHERE {_DSIR_TARGET} GROUP BY b),
+raw AS (SELECT b, count(*) AS tf_r FROM toks GROUP BY b),
+tot AS (SELECT n_t, n_r FROM
+          (SELECT cast(sum(tf_t) AS BIGINT) AS n_t FROM tgt)
+          CROSS JOIN (SELECT cast(sum(tf_r) AS BIGINT) AS n_r FROM raw)),
+scored AS (
+  SELECT t.doc_id,
+         cast(round(ln(
+             (cast(coalesce(g.tf_t, 0) + 1 AS double)
+               * cast(tot.n_r + {_DSIR_BUCKETS} AS double))
+           / (cast(r.tf_r + 1 AS double)
+               * cast(tot.n_t + {_DSIR_BUCKETS} AS double))
+         ) * 1000, 0) AS bigint) AS lr_milli
+  FROM toks t
+  JOIN raw r ON t.b = r.b
+  LEFT JOIN tgt g ON t.b = g.b
+  CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       cast(sum(lr_milli) AS BIGINT) AS sum_logratio_milli,
+       cast(floor(cast(sum(lr_milli) AS double) * 1000 / count(*)) AS BIGINT)
+         AS logratio_micronats
+FROM scored GROUP BY doc_id
+"""
+
+
+def importance_spark() -> str:
+    """Published pure-SQL spec (the views twin executes the explode
+    once; Spark inlines `toks` at its three references)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         cast(conv(substring(md5(token), 1, 8), 16, 10) AS bigint)
+           % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, explode({SPARK_WORDS}) AS token
+        FROM documents)),
+{_dsir_body()}
+"""
+
+
+def importance_views_spark() -> tuple[list[tuple[str, str]], str]:
+    views = [
+        (
+            "dsir_toks",
+            f"""SELECT doc_id, lang,
+         cast(conv(substring(md5(token), 1, 8), 16, 10) AS bigint)
+           % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, explode({SPARK_WORDS}) AS token
+        FROM documents)""",
+        )
+    ]
+    final = "WITH " + _dsir_body().replace("toks", "dsir_toks")
+    return views, final
+
+
+def importance_duck() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(token), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({DUCK_WORDS}) AS token
+        FROM documents)),
+{_dsir_body()}
+"""

@@ -1104,6 +1104,37 @@ SELECT doc_id,
 FROM documents
 """,
     ),
+    "text_length_hist": Query(
+        # log2 token-length histogram via length(bin(n)) — pure
+        # integer/string ops (no libm log2 boundary risk); map-side
+        # projection + one <=64-bucket hash agg, constant-size output
+        # at any corpus scale
+        spark_sql=textstats.LENGTH_HIST_SPARK,
+        oracle=textstats.LENGTH_HIST_DUCK,
+    ),
+    "text_word_entropy": Query(
+        # per-doc word-distribution entropy (template-spam filter):
+        # millinat-rounded terms, integer micro-nat per-token mean —
+        # all stages keyed by doc_id so the shuffles co-locate
+        spark_sql=textstats.word_entropy_spark(),
+        oracle=textstats.word_entropy_duck(),
+    ),
+    "sample_language_balanced": Query(
+        # rebalance to the rarest language in expectation: per-lang
+        # counts broadcast back, integer cross-multiplied keep rule on
+        # a salted md5 bucket — map-side, no rank window PARTITION BY
+        # lang (which would funnel each language through one partition)
+        spark_sql=textstats.SAMPLE_BALANCED_SPARK,
+        oracle=textstats.SAMPLE_BALANCED_DUCK,
+    ),
+    "sample_importance": Query(
+        # DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-unigram
+        # importance weights vs the 'en' target slice: 8192 md5 feature
+        # buckets keep the "vocab" constant-size at any corpus scale;
+        # explode -> two tiny aggs broadcast back -> per-doc agg
+        fn=_views_fn(*textstats.importance_views_spark()),
+        oracle=textstats.importance_duck(),
+    ),
 }
 
 
@@ -1119,6 +1150,10 @@ FROM documents
 _FRONT_OF_WINDOW = [
     # round-3 additions + the 5 rows red in CORRECTNESS_r02 (HUGEINT
     # representation, fixed this round — need fresh driver rows)
+    "text_length_hist",
+    "text_word_entropy",
+    "sample_language_balanced",
+    "sample_importance",
     "w2_sessionize_native",
     "w2_sessionize",
     "w3_hopping_window",
