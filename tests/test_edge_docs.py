@@ -64,6 +64,14 @@ def _cases():
          dedup.ngram_jaccard_duck()),
         ("exact_substring", dedup.exact_substring_spark(),
          dedup.exact_substring_duck()),
+        ("length_hist", textstats.LENGTH_HIST_SPARK,
+         textstats.LENGTH_HIST_DUCK),
+        ("word_entropy", textstats.word_entropy_spark(),
+         textstats.word_entropy_duck()),
+        ("balanced", textstats.SAMPLE_BALANCED_SPARK,
+         textstats.SAMPLE_BALANCED_DUCK),
+        ("importance", textstats.importance_spark(),
+         textstats.importance_duck()),
     ]
 
 
