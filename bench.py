@@ -180,9 +180,21 @@ def main() -> None:
 
     if not os.environ.get("BENCH_SKIP_CRAWL"):
         n_products = int(os.environ.get("BENCH_PRODUCTS", "60000"))
-        crawl = bench_crawl(
-            spark, n_products, os.path.join(_REPO, ".fixtures", "bench-state")
-        )
+        # best-of-N like the queries: a single crawl shot conflates the
+        # engine with host steal + cold-JVM codegen (observed 111 s vs
+        # a 58-71 s isolated band on the same corpus); the second shot
+        # runs on a warmed JVM the way the query suite already does
+        crawl_repeats = max(1, int(os.environ.get("BENCH_CRAWL_REPEATS", "2")))
+        crawl = None
+        for i in range(crawl_repeats):
+            _clear_session_state(spark)
+            shot = bench_crawl(
+                spark,
+                n_products,
+                os.path.join(_REPO, ".fixtures", f"bench-state-{i}"),
+            )
+            if crawl is None or shot["wall_sec"] < crawl["wall_sec"]:
+                crawl = shot
         queries["crawl"] = crawl["wall_sec"]
         result["crawl"] = crawl
         result["pages_per_sec"] = crawl["pages_per_sec"]

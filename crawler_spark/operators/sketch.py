@@ -195,3 +195,85 @@ est AS (
 SELECT user_id, exact_n, cms_n
 FROM est ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin quantile sketch (histogram quantiles with a bounded shuffle)
+# ---------------------------------------------------------------------------
+# Exact percentiles over 10^10 events (events_value_quantiles' twin)
+# need every value shuffled to one reducer per group; the production
+# shape is a mergeable sketch. This is the simplest one with a hard
+# deterministic error bound: a 1024-bin equi-width histogram over
+# [min, max]. Estimate = upper edge of the first bin whose cumulative
+# count reaches the target rank, so |est - exact| <= one bin width
+# (pinned by a pytest against the exact percentile). Everything is
+# integer arithmetic except the bin index and the final edge formula —
+# both single IEEE expressions on identical doubles (no libm), so the
+# oracle is value-exact. Plan shape: one pass for (lo, hi, n), one
+# map-side-combined groupBy into <= 1024 cells, then a <= 1024-row
+# window — the shuffle carries 1024 rows at any event count.
+# Rank thresholds are integer cross-multiplied (cum * 1000 >= qp * n):
+# no 0.9 * n float ever materializes.
+
+_QH_BINS = 1024
+_QH_QPS = (500, 900, 990)  # permille targets
+
+
+def _qh_final(qs_cte: str) -> str:
+    return f"""
+WITH qs AS ({qs_cte}),
+sel AS (
+  SELECT q.qp, min(c.bin) AS qbin
+  FROM qs q CROSS JOIN qh_cum c CROSS JOIN qh_s s
+  WHERE c.cum * 1000 >= q.qp * s.n
+  GROUP BY q.qp)
+SELECT sel.qp, sel.qbin,
+       s.lo + (sel.qbin + 1) * (s.hi - s.lo) / {_QH_BINS} AS est_value
+FROM sel CROSS JOIN qh_s s
+"""
+
+
+_QH_S_SQL = "SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events"
+
+
+def _qh_cum_sql(bin_expr: str) -> str:
+    return f"""
+SELECT bin, cast(sum(c) OVER (ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+FROM (SELECT {bin_expr} AS bin, count(*) AS c
+      FROM events e CROSS JOIN qh_s s GROUP BY 1)
+"""
+
+
+# degenerate all-equal corpus guard: hi = lo would divide by zero
+# (Spark 4 ANSI throws where DuckDB returns inf)
+_QH_BIN = f"""CASE WHEN s.hi = s.lo THEN cast(0 AS bigint)
+  ELSE cast(least(floor((e.value - s.lo) * {_QH_BINS} / (s.hi - s.lo)),
+                  {_QH_BINS - 1}) AS bigint) END"""
+
+
+def quantile_hist_views_spark() -> tuple[list[tuple[str, str]], str]:
+    """(views, final) for queries._views_fn: the 1-row (lo, hi, n)
+    relation is evaluated once instead of at its three CTE references
+    (each inlined reference would re-scan the full events table)."""
+    views = [
+        ("qh_s", _QH_S_SQL),
+        ("qh_cum", _qh_cum_sql(_QH_BIN)),
+    ]
+    return views, _qh_final("SELECT explode(array(500, 900, 990)) AS qp")
+
+
+def quantile_hist_duck() -> str:
+    return f"""
+WITH qh_s AS ({_QH_S_SQL}),
+qh_cum AS ({_qh_cum_sql(_QH_BIN)}),
+qs AS (SELECT unnest([500, 900, 990]) AS qp),
+sel AS (
+  SELECT q.qp, min(c.bin) AS qbin
+  FROM qs q CROSS JOIN qh_cum c CROSS JOIN qh_s s
+  WHERE c.cum * 1000 >= q.qp * s.n
+  GROUP BY q.qp)
+SELECT sel.qp, sel.qbin,
+       s.lo + (sel.qbin + 1) * (s.hi - s.lo) / {_QH_BINS} AS est_value
+FROM sel CROSS JOIN qh_s s
+"""

@@ -1032,3 +1032,48 @@ WITH toks AS (
         FROM documents)),
 {_dsir_body()}
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+# Duffield/Lund/Thorup priority sampling: each item gets priority
+# w / u with u uniform in (0, 1]; the k highest-priority items are a
+# weighted sample without replacement. Deterministic and oracle-exact
+# because u := (md5_bucket + 1) / 2^32 and the priority is computed as
+# ONE IEEE division of exact integers (w * 2^32 <= 2^53 stays exact,
+# division is correctly rounded -> bit-identical across engines; no
+# libm anywhere, unlike the classic exp(ln(u)/w) key). Weight here is
+# n_chars — the "sample long documents proportionally more" knob.
+# Plan shape: map-side projection -> global top-k, which Spark executes
+# as TakeOrderedAndProject (per-partition heap + k-row merge, never a
+# global sort). Tie-break (priority, doc_id) pins order.
+
+_PRI_K = 100
+_PRI_BUCKETS = 1 << 32
+
+SAMPLE_PRIORITY_SPARK = f"""
+WITH b AS (
+  SELECT doc_id, n_chars AS weight,
+         cast(conv(substring(md5(concat(cast(doc_id AS string), ':pri')),
+                             1, 8), 16, 10) AS bigint) AS bucket
+  FROM documents)
+SELECT doc_id, weight,
+       cast(weight AS double) * {_PRI_BUCKETS} / (bucket + 1) AS priority
+FROM b
+ORDER BY priority DESC, doc_id
+LIMIT {_PRI_K}
+"""
+
+SAMPLE_PRIORITY_DUCK = f"""
+WITH b AS (
+  SELECT doc_id, n_chars AS weight,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':pri'), 1, 8))::BIGINT
+           AS bucket
+  FROM documents)
+SELECT doc_id, weight,
+       cast(weight AS double) * {_PRI_BUCKETS} / (bucket + 1) AS priority
+FROM b
+ORDER BY priority DESC, doc_id
+LIMIT {_PRI_K}
+"""

@@ -1135,6 +1135,22 @@ FROM documents
         fn=_views_fn(*textstats.importance_views_spark()),
         oracle=textstats.importance_duck(),
     ),
+    "sketch_quantile_hist": Query(
+        # 1024-bin histogram quantiles (p50/p90/p99 of events.value):
+        # the mergeable-sketch shape that replaces exact percentiles at
+        # 10^10 events — the shuffle carries <= 1024 cells at any
+        # scale; |est - exact| <= one bin width (pytest-pinned)
+        fn=_views_fn(*sketch.quantile_hist_views_spark()),
+        oracle=sketch.quantile_hist_duck(),
+    ),
+    "sample_weighted_priority": Query(
+        # Duffield/Lund/Thorup priority sampling (weighted, without
+        # replacement): priority = w * 2^32 / (md5_bucket + 1), one
+        # exact-integer IEEE division (no libm) -> bit-identical across
+        # engines; global top-k runs as TakeOrderedAndProject
+        spark_sql=textstats.SAMPLE_PRIORITY_SPARK,
+        oracle=textstats.SAMPLE_PRIORITY_DUCK,
+    ),
 }
 
 
@@ -1152,6 +1168,8 @@ _FRONT_OF_WINDOW = [
     # representation, fixed this round — need fresh driver rows)
     "text_length_hist",
     "text_word_entropy",
+    "sketch_quantile_hist",
+    "sample_weighted_priority",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

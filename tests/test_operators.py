@@ -527,6 +527,53 @@ def test_cms_sketch_upper_bound(spark):
         assert r.cms_n - r.exact_n <= bound, (r, bound)
 
 
+def test_quantile_hist_error_bound(spark):
+    """Histogram-quantile guarantee: the estimate is the upper edge of
+    the bin holding the target rank, so |est - exact| <= one bin width
+    (exact percentile computed in-test as the audit)."""
+    from crawler_spark.queries import all_queries
+
+    rows = all_queries()["sketch_quantile_hist"].run(spark, SF_DIR).collect()
+    assert {r.qp for r in rows} == {500, 900, 990}
+    lo, hi = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("min(value)", "max(value)")
+        .first()
+    )
+    width = (hi - lo) / 1024
+    exact = dict(
+        zip(
+            (500, 900, 990),
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr("percentile(value, array(0.5, 0.9, 0.99)) AS p")
+            .first()
+            .p,
+        )
+    )
+    for r in rows:
+        assert abs(r.est_value - exact[r.qp]) <= width, (r, exact[r.qp], width)
+
+
+def test_priority_sampling_weighted(spark):
+    """Priority sampling returns exactly k rows and is weight-biased:
+    the sampled docs' mean weight exceeds the corpus mean (long docs
+    are proportionally more likely — the point of the operator)."""
+    from crawler_spark.queries import all_queries
+
+    rows = all_queries()["sample_weighted_priority"].run(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    # deterministic: priorities strictly ordered after the tie-break
+    pris = [(r.priority, r.doc_id) for r in rows]
+    assert pris == sorted(pris, key=lambda t: (-t[0], t[1]))
+    corpus_mean = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("avg(n_chars)")
+        .first()[0]
+    )
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
 def test_simhash_block_combination_banding_exact(spark):
     """Manku m=2 block-combination keys must return EXACTLY the pairs
     the classic m=1 banding returns at the same hamming cutoff (both
