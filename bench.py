@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "events_anomaly",
     "text_script_mix",
     "graph_degree_dist",
+    "text_length_hist",
+    "text_word_entropy",
+    "sample_language_balanced",
+    "sample_importance",
+    "sketch_quantile_hist",
+    "sample_weighted_priority",
 ]
 
 

@@ -43,6 +43,9 @@ OPS = [
     "text_unigram_logprob",
     "text_tfidf_topk",
     "text_gopher_rules",
+    "text_word_entropy",
+    "sample_importance",
+    "sample_weighted_priority",
 ]
 
 GEN_SQL = """

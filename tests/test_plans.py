@@ -392,3 +392,41 @@ def test_aqe_splits_skewed_megahost_join(spark):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_priority_sample_no_global_sort(spark):
+    """Weighted priority sampling must run as TakeOrderedAndProject
+    (per-partition heap + k-row merge), never a global Sort of the
+    corpus by priority."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sample_weighted_priority"].run(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_balanced_sample_broadcasts_lang_counts(spark):
+    """Language-balanced sampling joins the tiny per-lang census via
+    BroadcastHashJoin — a SortMergeJoin (or a rank window partitioned
+    by lang) would shuffle the full corpus on a 5-value key."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sample_language_balanced"].run(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_quantile_hist_no_value_sort(spark):
+    """The histogram-quantile sketch never sorts the events relation:
+    the only Sort in the plan is the <= 1024-row cumulative window over
+    bins. (Exact percentiles would shuffle every value to one task.)"""
+    from crawler_spark.queries import all_queries
+
+    df = all_queries()["sketch_quantile_hist"].run(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the bin-cumsum window sorts 'bin' (bounded domain), never 'value'
+    import re
+
+    for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+        assert "value" not in m.group(1), plan
