@@ -7,6 +7,8 @@ the curation flow a 100 TB webtext run actually executes.
               ──► near-dup dedup (MinHash-LSH pairs → connected
                   components → canonical per cluster)
               ──► CCNet perplexity gate (drop the tail tercile per lang)
+              ──► [optional] DSIR importance gate (top-N‰ by hashed-
+                  unigram target-likeness; q:sample_importance)
               ──► LM sequence packing (concat-and-chunk, sharded cumsum)
               ──► packed training shards (parquet, partitioned by lang)
 
@@ -145,6 +147,7 @@ def run_training_pipeline(
     spark: SparkSession,
     documents: DataFrame,
     out_dir: str | None = None,
+    dsir_keep_permille: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation flow over ``documents`` (schema: doc_id,
     text, lang, source, n_chars). Returns (packed frame, per-stage row
@@ -152,7 +155,17 @@ def run_training_pipeline(
     per-stage survivor checkpoints — a re-run with the same out_dir
     resumes after the last committed stage instead of recomputing
     (the crawl engine's resume-exactness contract, applied to the
-    curation flow)."""
+    curation flow).
+
+    ``dsir_keep_permille``: optional DSIR importance gate between the
+    CCNet gate and packing — keep the docs whose hashed-unigram
+    importance weight (q:sample_importance) clears the corpus
+    (1000 - keep)‰ score threshold. The threshold is an exact
+    ``percentile`` over ONE bigint per doc (tiny next to the corpus);
+    at 10^10 docs swap in the bounded-bin threshold from the
+    q:sketch_quantile_hist pattern — the gate rule itself (integer
+    score >= integer threshold, ties keep) is unchanged. ``None``
+    (default) skips the stage, keeping the published accounting."""
     counts: dict[str, int] = {}
     docs = _rebind(spark, documents)
     fp = _input_fingerprint(docs)
@@ -217,6 +230,28 @@ def run_training_pipeline(
         docs = loaded
     docs = _rebind(spark, docs)
     counts["ccnet_gate"] = docs.count()
+
+    # 4b. optional DSIR importance gate (q:sample_importance)
+    if dsir_keep_permille is not None:
+        stage = f"dsir_gate_p{dsir_keep_permille}"
+        loaded = _stage_load(spark, out_dir, stage)
+        if loaded is None:
+            scores = _run_views(
+                spark, *textstats.importance_views_spark()
+            ).select("doc_id", "logratio_micronats")
+            thresh = scores.selectExpr(
+                "percentile(logratio_micronats, "
+                f"{(1000 - dsir_keep_permille) / 1000.0}) AS t"
+            ).first()["t"]
+            keep = scores.where(
+                F.col("logratio_micronats") >= float(thresh)
+            ).select("doc_id")
+            docs = docs.join(keep, "doc_id")
+            _stage_commit(out_dir, stage, docs)
+        else:
+            docs = loaded
+        docs = _rebind(spark, docs)
+        counts["dsir_gate"] = docs.count()
 
     # 5. LM sequence packing over the survivors (q:text_pack_sequences)
     packed = spark.sql(textstats.PACK_SPARK).localCheckpoint(eager=False)

@@ -27,6 +27,11 @@ def main() -> None:
         help="wipe committed stage checkpoints and recompute from scratch "
              "(default: resume after the last committed stage)",
     )
+    ap.add_argument(
+        "--dsir-keep-permille", type=int, default=None,
+        help="optional DSIR importance gate: keep the top N permille of "
+             "CCNet survivors by hashed-unigram importance weight",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,7 +49,10 @@ def main() -> None:
         shutil.rmtree(os.path.join(args.out, "stages"), ignore_errors=True)
     t0 = time.monotonic()
     docs = spark.read.parquet(args.docs)
-    _, counts = run_training_pipeline(spark, docs, out_dir=args.out)
+    _, counts = run_training_pipeline(
+        spark, docs, out_dir=args.out,
+        dsir_keep_permille=args.dsir_keep_permille,
+    )
     wall = time.monotonic() - t0
     print(
         json.dumps(

@@ -184,3 +184,38 @@ def test_stage_commit_overwrites_stale_committed_dir(spark, tmp_path):
     committed = spark.read.parquet(stale)
     assert committed.count() == 10
     assert not os.path.exists(os.path.join(stale, "junk.txt"))
+
+
+def test_pipeline_optional_dsir_gate(spark, tmp_path):
+    """dsir_keep_permille adds a fifth gate between CCNet and packing:
+    roughly the requested fraction of CCNet survivors clears it (exact
+    percentile threshold, ties keep), it's deterministic, the committed
+    stage resumes, and the default-off path keeps the published
+    accounting (no dsir_gate key)."""
+    from crawler_spark.pipeline import run_training_pipeline
+
+    packed, counts = run_training_pipeline(
+        spark, _docs(spark), out_dir=str(tmp_path), dsir_keep_permille=500
+    )
+    assert counts["dsir_gate"] <= counts["ccnet_gate"]
+    assert counts["packed_docs"] == counts["dsir_gate"]
+    # ~half survive; percentile ties can only push the count UP a bit
+    half = counts["ccnet_gate"] / 2
+    assert half * 0.9 <= counts["dsir_gate"] <= half * 1.2, counts
+    # gate is non-vacuous
+    assert counts["dsir_gate"] < counts["ccnet_gate"]
+
+    # resume: second run with the same out_dir reuses the committed
+    # stage and reproduces identical accounting + packing
+    packed2, counts2 = run_training_pipeline(
+        spark, _docs(spark), out_dir=str(tmp_path), dsir_keep_permille=500
+    )
+    assert counts2 == counts
+    assert sorted(map(tuple, packed2.collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+
+    # default-off path unchanged
+    _, counts_off = run_training_pipeline(spark, _docs(spark))
+    assert "dsir_gate" not in counts_off
+    assert counts_off["packed_docs"] == counts_off["ccnet_gate"]
