@@ -696,14 +696,30 @@ def _hyperplane_components(t: int) -> list[float]:
 
 def embedding_lsh_views_spark(
     threshold: float = 0.35,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> tuple[list[tuple[str, str]], str]:
     """Cached-view + constant-folded-hyperplane twin of
-    embedding_lsh_spark (the semantic spec / oracle form)."""
+    embedding_lsh_spark (the semantic spec / oracle form).
+
+    ``bits`` is the scale knob (the SimHash-banding lesson, measured
+    here too): expected random-pair candidates per band are
+    C(n,2) / 2^bits, so the registered 4-bit default — fine at the 2k
+    sf vectors — went quadratic at 10^4+ (ops_scale probe: 311.9 s at
+    just 20k vectors). The ``_hi`` registration (16 bits × 16 bands,
+    threshold 0.9) holds candidates to ~n²/2^17 while keeping
+    near-dup recall: per-bit agreement for cosine c is
+    1 - acos(c)/pi, so a 0.95-cosine pair collides per band with
+    0.899^16 ≈ 0.18 and across 16 bands with 1-(1-0.18)^16 ≈ 0.96
+    (exact duplicates always collide). Raising bands buys recall
+    linearly in signature cost; bits buys candidate sparsity
+    exponentially."""
     band_rows = []
-    for b in range(EMB_LSH_BANDS):
-        bits = []
-        for r in range(EMB_LSH_BITS):
-            comps = _hyperplane_components(b * EMB_LSH_BITS + r)
+    for b in range(bands):
+        bts = []
+        for r in range(bits):
+            comps = _hyperplane_components(b * bits + r)
             arr = "array(" + ", ".join(
                 f"cast({c} as double)" for c in comps
             ) + ")"
@@ -711,16 +727,16 @@ def embedding_lsh_views_spark(
                 f"aggregate(zip_with(v, {arr}, (x, s) -> x * s), "
                 "cast(0.0 as double), (acc, x) -> acc + x)"
             )
-            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+            bts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
         band_rows.append(
-            f"SELECT vec_id, {b} AS band, concat({', '.join(bits)}) AS bkey "
+            f"SELECT vec_id, {b} AS band, concat({', '.join(bts)}) AS bkey "
             "FROM emb_e_v"
         )
     views = [
         (
             "emb_e_v",
             "SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v "
-            "FROM embeddings",
+            f"FROM ({source_sql})",
         ),
         ("emb_bands_v", "\nUNION ALL\n".join(band_rows)),
     ]
@@ -741,6 +757,75 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
 FROM p WHERE cos >= {threshold}
 """
     return views, final
+
+
+# deterministic "re-ingest snapshot" augmentation for the _hi variant:
+# every 20th vector reappears with a new id and its first component
+# scaled 1.5x (cosine ~0.999 to its original) — the planted positives
+# that make the high-threshold query non-vacuous on sf corpora whose
+# natural max pairwise cosine is ~0.51. Multiplication is exact IEEE on
+# identical floats, so both engines derive bit-identical sources.
+EMB_SNAPSHOT_SPARK = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       concat(array(cast(embedding[0] * 1.5 AS float)),
+              slice(embedding, 2, size(embedding) - 1)) AS embedding
+FROM embeddings WHERE pmod(vec_id, 20) = 0
+"""
+
+EMB_SNAPSHOT_DUCK = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_prepend((embedding[1] * 1.5)::FLOAT,
+                    embedding[2:len(embedding)]) AS embedding
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def embedding_lsh_const_duck(
+    threshold: float = 0.35,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """Constant-folded DuckDB twin of :func:`embedding_lsh_views_spark`
+    for the wide-signature variants: the per-row md5 form re-hashes
+    bands × bits × 64 components per vector (33M md5 calls at 2k
+    vectors for the 16×16 signature), the folded form none."""
+    band_rows = []
+    for b in range(bands):
+        bts = []
+        for r in range(bits):
+            comps = _hyperplane_components(b * bits + r)
+            arr = "[" + ", ".join(str(c) for c in comps) + "]"
+            dot = f"list_dot_product(v, {arr})"
+            bts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, concat({', '.join(bts)}) AS bkey "
+            "FROM e"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM ({source_sql})),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+p AS (
+  SELECT c.vec_a, c.vec_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_a
+  JOIN e b ON b.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+FROM p WHERE cos >= {threshold}
+"""
 
 
 def embedding_lsh_duck(threshold: float = 0.35) -> str:

@@ -882,6 +882,27 @@ _TRAIN: dict[str, Query] = {
         fn=_views_fn(*dedup.embedding_lsh_views_spark()),
         oracle=dedup.embedding_lsh_duck(),
     ),
+    "dedup_embedding_lsh_hi": Query(
+        # the 10^5+-vector scale path: 16-bit band keys hold random-
+        # pair candidates to ~C(n,2)/2^16 per band where the 4-bit
+        # default went quadratic (ops_scale: 311.9 s at 20k vectors);
+        # 16 bands keep ~0.96 recall at cosine 0.95 (math in the
+        # operator docstring), exact-dup recall 1 by construction.
+        # Source is the base corpus PLUS a deterministic perturbed
+        # re-ingest snapshot (cosine ~0.999 planted pairs) — the sf
+        # corpus's natural max pairwise cosine is 0.51, so without the
+        # snapshot a 0.9-threshold query would be vacuously empty.
+        fn=_views_fn(
+            *dedup.embedding_lsh_views_spark(
+                threshold=0.9, bands=16, bits=16,
+                source_sql=dedup.EMB_SNAPSHOT_SPARK,
+            )
+        ),
+        oracle=dedup.embedding_lsh_const_duck(
+            threshold=0.9, bands=16, bits=16,
+            source_sql=dedup.EMB_SNAPSHOT_DUCK,
+        ),
+    ),
     "ann_brute_topk": Query(
         spark_sql=similarity.brute_topk_spark(),
         oracle=similarity.brute_topk_duck(),
@@ -1170,6 +1191,7 @@ _FRONT_OF_WINDOW = [
     "text_word_entropy",
     "sketch_quantile_hist",
     "sample_weighted_priority",
+    "dedup_embedding_lsh_hi",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

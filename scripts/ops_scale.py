@@ -34,6 +34,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# embedding-path ops probe the 100k-VECTOR regime (synthetic
+# embeddings.parquet generated next to the docs; the sf tables top out
+# at 2k vectors, far below where the LSH/IVF bucketing earns its keep)
+OPS_EMB = [
+    "dedup_embedding_lsh_hi",
+    "ann_ivf_topk",
+]
+
 OPS = [
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -47,6 +55,20 @@ OPS = [
     "sample_importance",
     "sample_weighted_priority",
 ]
+
+# 64-dim md5-seeded unit-free embeddings in [-1, 1]; 2% planted exact
+# duplicates (same seed) so the near-dup path has real positives
+EMB_GEN_SQL = """
+SELECT id AS vec_id,
+       transform(sequence(1, 64),
+         i -> cast((cast(conv(substring(md5(concat(
+                cast(CASE WHEN pmod(id, 50) = 1 THEN id - 1 ELSE id END
+                     AS string), ':e', cast(i AS string))), 1, 8),
+                16, 10) AS bigint) %% 2000001 - 1000000) / 1000000.0
+              AS float)) AS embedding,
+       cast(pmod(id, 10) AS int) AS label
+FROM range(0, %s)
+"""
 
 GEN_SQL = """
 -- {stopwords}: '1=1' mixes stopwords in, '1=0' leaves pure-random text
@@ -101,13 +123,19 @@ def run_level(n_docs: int, cores: int, docs_path: str,
             GEN_SQL.format(n=n_docs, stopwords=stopwords)
         ).repartition(64).write.parquet(docs_path)
     sf_dir = os.path.dirname(docs_path)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        spark.sql(EMB_GEN_SQL % n_docs).repartition(64).write.parquet(
+            emb_path
+        )
     # warm the page cache / JVM before timing (the first op otherwise
     # absorbs parquet cold-read + codegen warmup and skews one level)
     spark.read.parquet(docs_path).count()
+    spark.read.parquet(emb_path).count()
     qs = all_queries()
     out: dict[str, float] = {}
     total0 = time.monotonic()
-    for name in OPS:
+    for name in OPS + OPS_EMB:
         t0 = time.monotonic()
         n = qs[name].run(spark, sf_dir).count()
         out[name] = round(time.monotonic() - t0, 2)

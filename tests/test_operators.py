@@ -574,6 +574,32 @@ def test_priority_sampling_weighted(spark):
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
 
 
+def test_embedding_lsh_hi_finds_all_planted_near_dups(spark):
+    """The 16-bit/16-band scale variant must find EVERY planted
+    re-ingest pair (cosine >= 0.992 by construction; banding math in
+    the operator docstring predicts ~1.0 recall there). The 4-bit
+    default variant is the low-threshold small-corpus form; this one
+    is the 10^5+-vector path the ops_scale probe exercises."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.queries import all_queries
+
+    rows = all_queries()["dedup_embedding_lsh_hi"].run(spark, SF_DIR)
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in rows.collect()
+        if r.vec_b >= 1_000_000  # base -> snapshot pairs
+    }
+    planted = {
+        (r.vec_id, r.vec_id + 1_000_000)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.pmod("vec_id", F.lit(20)) == 0)
+        .collect()
+    }
+    assert planted, "fixture lost its planted ids"
+    assert found >= planted, planted - found
+
+
 def test_simhash_block_combination_banding_exact(spark):
     """Manku m=2 block-combination keys must return EXACTLY the pairs
     the classic m=1 banding returns at the same hamming cutoff (both
