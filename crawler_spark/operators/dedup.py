@@ -954,3 +954,97 @@ def exact_substring_duck(w: int = EXACTSUB_W, s: int = EXACTSUB_S) -> str:
       FROM t, unnest(generate_series(0, len(toks) - {w}, {s})) AS u(p)
       WHERE len(toks) >= {w}),"""
     return _exactsub_body(toks, windows)
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (doc-inside-doc / quote-farm detection)
+# ---------------------------------------------------------------------------
+# Jaccard misses the aggregator-page case: a short document quoted
+# inside a 3x-longer composite has jaccard ~= 1/3 but containment
+# |A∩B| / min(|A|,|B|) = 1. The operator reports both directions'
+# intersection over the smaller shingle set, thresholded by integer
+# cross-multiplication (n_common * 10 >= min_size * 8, i.e. >= 0.8) and
+# emitted as tie-free integer basis points (floor(n*10000/m) — exact
+# under 2^53, no round(x,4) boundary). Same DF-capped blocking as
+# ngram_jaccard: candidates only from co-occurring rare shingles, one
+# shuffle on sh, one on the pair key — no all-pairs stage.
+#
+# The sf corpus has no natural containment-without-jaccard pairs, so
+# the source augments documents with deterministic composites: every
+# 25th doc spawns an "aggregator" (id + 1000000) concatenating docs
+# i, i+1, i+2 — each composite must then be flagged containing all
+# three sources (pytest) while jaccard (~0.33) stays below the
+# ngram_jaccard 0.5 gate.
+
+CONT_SRC_SPARK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT a.doc_id + 1000000 AS doc_id,
+       concat_ws(' ', a.text, b.text, c.text) AS text
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+JOIN documents c ON c.doc_id = a.doc_id + 2
+WHERE pmod(a.doc_id, 25) = 0
+"""
+
+CONT_SRC_DUCK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT a.doc_id + 1000000 AS doc_id,
+       concat_ws(' ', a.text, b.text, c.text) AS text
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+JOIN documents c ON c.doc_id = a.doc_id + 2
+WHERE a.doc_id % 25 = 0
+"""
+
+
+def _containment_final(sh_view: str, pct10: int = 8) -> str:
+    return f"""
+WITH sizes AS (SELECT doc_id, count(*) AS n FROM {sh_view} GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM {sh_view}f a JOIN {sh_view}f b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       cast(floor(cast(i.n_common AS double) * 10000 /
+                  least(sa.n, sb.n)) AS BIGINT) AS containment_bp
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_common * 10 >= least(sa.n, sb.n) * {pct10}
+"""
+
+
+def containment_views_spark(
+    n: int = 2, pct10: int = 8
+) -> tuple[list[tuple[str, str]], str]:
+    """(views, final) for queries._views_fn — shingles evaluated once
+    over the augmented source."""
+    src_shingles = spark_shingle_sql(n).replace(
+        "FROM documents", f"FROM ({CONT_SRC_SPARK})"
+    )
+    views = [
+        ("cont_sh", src_shingles),
+        (
+            "cont_shf",
+            f"""SELECT s.doc_id, s.sh FROM cont_sh s
+                JOIN (SELECT sh FROM cont_sh GROUP BY sh
+                      HAVING count(*) <= {DF_CAP}) f ON s.sh = f.sh""",
+        ),
+    ]
+    return views, _containment_final("cont_sh", pct10)
+
+
+def containment_duck(n: int = 2, pct10: int = 8) -> str:
+    sh = duck_shingle_sql(n).replace(
+        "FROM documents", f"FROM ({CONT_SRC_DUCK})"
+    )
+    return f"""
+WITH cont_sh AS ({sh}),
+freq AS (SELECT sh, count(*) AS df FROM cont_sh GROUP BY sh),
+cont_shf AS (SELECT s.doc_id, s.sh FROM cont_sh s
+             JOIN freq f ON s.sh = f.sh WHERE f.df <= {DF_CAP}),
+{_containment_final("cont_sh", pct10).lstrip().removeprefix("WITH ")}
+"""

@@ -1156,6 +1156,16 @@ FROM documents
         fn=_views_fn(*textstats.importance_views_spark()),
         oracle=textstats.importance_duck(),
     ),
+    "dedup_containment": Query(
+        # asymmetric doc-inside-doc detection (quote farms, aggregator
+        # pages): |A∩B| / min(|A|,|B|) over DF-capped shingles — the
+        # case jaccard misses (composite of 3 docs: containment 1.0,
+        # jaccard ~0.33). Integer cross-multiplied threshold, tie-free
+        # basis points. Source augments documents with deterministic
+        # 3-doc composites so the asymmetric branch is non-vacuous.
+        fn=_views_fn(*dedup.containment_views_spark()),
+        oracle=dedup.containment_duck(),
+    ),
     "sketch_quantile_hist": Query(
         # 1024-bin histogram quantiles (p50/p90/p99 of events.value):
         # the mergeable-sketch shape that replaces exact percentiles at
@@ -1192,6 +1202,7 @@ _FRONT_OF_WINDOW = [
     "sketch_quantile_hist",
     "sample_weighted_priority",
     "dedup_embedding_lsh_hi",
+    "dedup_containment",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

@@ -574,6 +574,60 @@ def test_priority_sampling_weighted(spark):
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
 
 
+def test_containment_catches_what_jaccard_misses(spark):
+    """Every deterministic 3-doc composite must be flagged as
+    containing each of its three sources (containment ~1.0), while
+    ngram-jaccard at its 0.5 gate reports NONE of those pairs — the
+    asymmetric case is the operator's reason to exist."""
+    from crawler_spark.queries import all_queries
+
+    rows = all_queries()["dedup_containment"].run(spark, SF_DIR).collect()
+    comp_pairs = {
+        (r.doc_a, r.doc_b) for r in rows if r.doc_b >= 1_000_000
+    }
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    expected = {
+        (base + off, base + 1_000_000)
+        for base in range(0, n_docs - 2, 25)
+        for off in (0, 1, 2)
+    }
+    assert expected <= comp_pairs, sorted(expected - comp_pairs)[:5]
+    # the same pairs sit BELOW ngram-jaccard's 0.5 gate: a 3-doc
+    # composite shares ~1/3 of its shingle union with each source
+    from crawler_spark.operators import dedup
+    from crawler_spark.operators.textprep import spark_shingle_sql
+    from crawler_spark.queries import load_views
+
+    load_views(spark, SF_DIR)
+    sh = spark_shingle_sql(2).replace(
+        "FROM documents", f"FROM ({dedup.CONT_SRC_SPARK})"
+    )
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.sql(
+            f"""WITH sh AS ({sh}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE b.doc_id >= 1000000 GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       cast(i.c AS double) / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id"""
+        ).collect()
+    }
+    below_gate = [p for p in expected if jac.get(p, 0.0) < 0.5]
+    # the vast majority of composite containments are invisible to
+    # jaccard (52/60 at sf0.01; the rest have one source so much longer
+    # than its siblings that it dominates the union)
+    assert len(below_gate) >= 0.75 * len(expected), (
+        len(below_gate),
+        len(expected),
+    )
+
+
 def test_embedding_lsh_hi_finds_all_planted_near_dups(spark):
     """The 16-bit/16-band scale variant must find EVERY planted
     re-ingest pair (cosine >= 0.992 by construction; banding math in
