@@ -54,6 +54,7 @@ OPS = [
     "text_word_entropy",
     "sample_importance",
     "sample_weighted_priority",
+    "dedup_containment",
 ]
 
 # 64-dim md5-seeded unit-free embeddings in [-1, 1]; 2% planted exact
