@@ -501,6 +501,26 @@ FROM se GROUP BY user_id, session_id
 """,
 )
 
+def _stream_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import url_seen_dedup_query  # lazy: streaming deps
+
+    return url_seen_dedup_query(spark, sf_dir)
+
+
+_REL["stream_url_seen_dedup"] = Query(
+    # the custom stateful streaming operator (applyInPandasWithState
+    # per-host URL-seen, streaming.py:190) executed as a REAL 3-batch
+    # file-source stream inside the query: exactly-once emission makes
+    # the append output the DISTINCT url set however batches
+    # interleave, so a plain SELECT DISTINCT is a value-exact oracle
+    fn=lambda spark, sf_dir: _stream_url_seen(spark, sf_dir),
+    oracle="""
+SELECT DISTINCT source || '.test' AS host,
+       'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
+FROM documents
+""",
+)
+
 _REL["w2_sessionize_native"] = Query(
     # the NATIVE Spark session_window operator (same device Structured
     # Streaming uses for stateful sessionization; streaming.py:92 is the
@@ -1203,6 +1223,7 @@ _FRONT_OF_WINDOW = [
     "sample_weighted_priority",
     "dedup_embedding_lsh_hi",
     "dedup_containment",
+    "stream_url_seen_dedup",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

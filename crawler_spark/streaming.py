@@ -269,3 +269,76 @@ def politeness_rate_limit_stateful(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-checkable streaming run: URL-seen dedup over real micro-batches
+# ---------------------------------------------------------------------------
+
+def url_seen_dedup_query(spark, sf_dir: str) -> DataFrame:
+    """Run :func:`url_seen_dedup_stateful` as a REAL Structured
+    Streaming query (file source, one micro-batch per file, memory
+    sink) and return its complete append output — the registered-query
+    wrapper that earns the custom stateful operator a driver oracle
+    row instead of pytest-only coverage.
+
+    Input: one URL per document plus deterministic re-discoveries of
+    every 3rd and 5th document in later batches (the crawl re-seeing
+    known URLs). Exactly-once emission makes the output the DISTINCT
+    url set however the micro-batches interleave, so the DuckDB oracle
+    is a plain SELECT DISTINCT over the same derivation — value-exact,
+    order-free."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    urls = docs.selectExpr(
+        "concat(source, '.test') AS host",
+        "concat('https://', source, '.test/doc/', cast(doc_id AS string))"
+        " AS url",
+        "doc_id",
+    )
+    work = tempfile.mkdtemp(prefix="stream-seen-")
+    src = os.path.join(work, "src")
+    try:
+        urls.drop("doc_id").coalesce(1).write.parquet(f"{src}/d=0")
+        urls.where("pmod(doc_id, 3) = 0").drop("doc_id").coalesce(
+            1
+        ).write.parquet(f"{src}/d=1")
+        urls.where("pmod(doc_id, 5) = 0").drop("doc_id").coalesce(
+            1
+        ).write.parquet(f"{src}/d=2")
+        schema = spark.read.parquet(f"{src}/d=0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        q = (
+            url_seen_dedup_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_seen_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # materialize OFF the memory table before the sink goes away
+            out = spark.createDataFrame(
+                spark.sql("SELECT host, url FROM stream_seen_out").collect(),
+                schema="host string, url string",
+            )
+        finally:
+            q.stop()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+URL_SEEN_DEDUP_DUCK = """
+SELECT DISTINCT source || '.test' AS host,
+       'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
+FROM documents
+"""
