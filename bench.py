@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "sample_importance",
     "sketch_quantile_hist",
     "sample_weighted_priority",
+    "dedup_embedding_lsh_hi",
+    "dedup_containment",
 ]
 
 
