@@ -507,6 +507,18 @@ def _stream_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_seen_dedup_query(spark, sf_dir)
 
 
+def _stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import politeness_rate_query
+
+    return politeness_rate_query(spark, sf_dir)
+
+
+def _stream_rate_oracle() -> str:
+    from .streaming import politeness_rate_duck
+
+    return politeness_rate_duck()
+
+
 _REL["stream_url_seen_dedup"] = Query(
     # the custom stateful streaming operator (applyInPandasWithState
     # per-host URL-seen, streaming.py:190) executed as a REAL 3-batch
@@ -519,6 +531,16 @@ SELECT DISTINCT source || '.test' AS host,
        'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
 FROM documents
 """,
+)
+
+_REL["stream_politeness_rate"] = Query(
+    # the custom stateful token-bucket rate limiter (streaming.py) as a
+    # REAL 3-batch stream. Value-oracle-able because the queue order is
+    # closed-form: sorted batches concatenate FIFO, so released rows =
+    # first k*3 positions per host with trigger_seq = pos // k + 1 —
+    # the oracle computes the waterfall with one rank, no state machine
+    fn=lambda spark, sf_dir: _stream_rate(spark, sf_dir),
+    oracle=_stream_rate_oracle(),
 )
 
 _REL["w2_sessionize_native"] = Query(
@@ -1224,6 +1246,7 @@ _FRONT_OF_WINDOW = [
     "dedup_embedding_lsh_hi",
     "dedup_containment",
     "stream_url_seen_dedup",
+    "stream_politeness_rate",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

@@ -342,3 +342,95 @@ SELECT DISTINCT source || '.test' AS host,
        'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
 FROM documents
 """
+
+
+def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
+    """Run :func:`politeness_rate_limit_stateful` as a real 3-batch
+    stream (same deterministic source derivation as
+    :func:`url_seen_dedup_query`) and return its append output.
+
+    The operator is value-oracle-able because its queue order is fully
+    determined: _rate_update appends each trigger's urls SORTED onto
+    the FIFO backlog, so per host the lifetime queue is exactly
+    sorted(batch0) ++ sorted(batch1) ++ sorted(batch2); the released
+    rows are the first 3k queue positions and trigger_seq is
+    position // k + 1. The DuckDB oracle computes precisely that with
+    one rank over (batch, url). File order is pinned by write order
+    (FileStreamSource processes by modification time; the watermark
+    pytest already relies on this)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    urls = docs.selectExpr(
+        "concat(source, '.test') AS host",
+        "concat('https://', source, '.test/doc/', cast(doc_id AS string))"
+        " AS url",
+        "doc_id",
+    )
+    work = tempfile.mkdtemp(prefix="stream-rate-")
+    src = os.path.join(work, "src")
+    try:
+        urls.drop("doc_id").coalesce(1).write.parquet(f"{src}/d=0")
+        urls.where("pmod(doc_id, 3) = 0").drop("doc_id").coalesce(
+            1
+        ).write.parquet(f"{src}/d=1")
+        urls.where("pmod(doc_id, 5) = 0").drop("doc_id").coalesce(
+            1
+        ).write.parquet(f"{src}/d=2")
+        schema = spark.read.parquet(f"{src}/d=0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        q = (
+            politeness_rate_limit_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_rate_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out = spark.createDataFrame(
+                spark.sql(
+                    "SELECT host, url, trigger_seq FROM stream_rate_out"
+                ).collect(),
+                schema="host string, url string, trigger_seq long",
+            )
+        finally:
+            q.stop()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def politeness_rate_duck(k: int = _RATE_K) -> str:
+    """The closed-form waterfall: per host, queue = urls ordered by
+    (batch, url) with every re-discovery occurrence its own element;
+    trigger = position // k + 1. A host is only invoked on triggers
+    whose micro-batch contains at least one of its urls (GroupState
+    without timeout never fires for absent keys), so the release
+    cutoff is k × (that host's participating batch count), not k × 3."""
+    return f"""
+WITH u AS (
+  SELECT source || '.test' AS host,
+         'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url,
+         b.batch
+  FROM documents
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS batch) b
+  WHERE b.batch = 0
+     OR (b.batch = 1 AND doc_id % 3 = 0)
+     OR (b.batch = 2 AND doc_id % 5 = 0)),
+q AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY batch, url) - 1
+           AS pos,
+         count(DISTINCT batch) OVER (PARTITION BY host) AS n_trig
+  FROM u)
+SELECT host, url, cast(pos // {k} + 1 AS BIGINT) AS trigger_seq
+FROM q WHERE pos < {k} * n_trig
+"""
