@@ -519,6 +519,12 @@ def _stream_rate_oracle() -> str:
     return politeness_rate_duck()
 
 
+def _stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import quantile_hist_stream_query
+
+    return quantile_hist_stream_query(spark, sf_dir)
+
+
 _REL["stream_url_seen_dedup"] = Query(
     # the custom stateful streaming operator (applyInPandasWithState
     # per-host URL-seen, streaming.py:190) executed as a REAL 3-batch
@@ -541,6 +547,16 @@ _REL["stream_politeness_rate"] = Query(
     # the oracle computes the waterfall with one rank, no state machine
     fn=lambda spark, sf_dir: _stream_rate(spark, sf_dir),
     oracle=_stream_rate_oracle(),
+)
+
+_REL["stream_quantile_hist"] = Query(
+    # the histogram sketch accumulated incrementally: bin counts are
+    # additive, so a complete-mode streaming agg over 3 micro-batches
+    # converges to EXACTLY the batch histogram (the mergeability that
+    # makes the sketch the 10^10-event shape) — same DuckDB oracle as
+    # the batch operator, bin boundaries pinned by a census pass
+    fn=lambda spark, sf_dir: _stream_quantile(spark, sf_dir),
+    oracle=sketch.quantile_hist_duck(),
 )
 
 _REL["w2_sessionize_native"] = Query(
@@ -1266,6 +1282,7 @@ _FRONT_OF_WINDOW = [
     "dedup_containment",
     "stream_url_seen_dedup",
     "stream_politeness_rate",
+    "stream_quantile_hist",
     "sample_language_balanced",
     "sample_importance",
     "w2_sessionize_native",

@@ -434,3 +434,77 @@ q AS (
 SELECT host, url, cast(pos // {k} + 1 AS BIGINT) AS trigger_seq
 FROM q WHERE pos < {k} * n_trig
 """
+
+
+def quantile_hist_stream_query(spark, sf_dir: str) -> DataFrame:
+    """The histogram-quantile sketch accumulated INCREMENTALLY: bin
+    counts are additive, so a complete-mode streaming aggregation over
+    3 micro-batches of the events table converges to exactly the batch
+    histogram — this is the mergeability that makes the sketch the
+    10^10-event shape (executors/batches build partial histograms, the
+    merge is a sum). Bin boundaries come from a prior census pass
+    (min/max/n of the static table) exactly like a production stream
+    pins boundaries from history; the final quantile selection runs
+    the same integer-threshold waterfall as the batch operator, so the
+    DuckDB oracle is LITERALLY sketch_quantile_hist's."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import sketch
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.createOrReplaceTempView("events")
+    # census: bin boundaries + total count (exact doubles via DataFrame,
+    # never stringified into SQL literals)
+    spark.sql(sketch._QH_S_SQL).createOrReplaceTempView("qh_s")
+    census = spark.table("qh_s").localCheckpoint()
+    census.createOrReplaceTempView("qh_s")
+
+    work = tempfile.mkdtemp(prefix="stream-qh-")
+    src = os.path.join(work, "src")
+    try:
+        for d in range(3):
+            events.where(f"pmod(event_id, 3) = {d}").coalesce(
+                1
+            ).write.parquet(f"{src}/d={d}")
+        schema = events.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        binned = stream.crossJoin(census).selectExpr(
+            f"{sketch._QH_BIN.replace('e.value', 'value').replace('s.hi', 'hi').replace('s.lo', 'lo')} AS bin"
+        )
+        q = (
+            binned.groupBy("bin")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_qh_bins")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            bins = spark.createDataFrame(
+                spark.sql("SELECT bin, count AS c FROM stream_qh_bins")
+                .collect(),
+                schema="bin long, c long",
+            )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    bins.createOrReplaceTempView("stream_qh_bins_final")
+    spark.sql(
+        """SELECT bin, cast(sum(c) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM stream_qh_bins_final"""
+    ).createOrReplaceTempView("qh_cum")
+    return spark.sql(
+        sketch._qh_final("SELECT explode(array(500, 900, 990)) AS qp")
+    )
