@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "sample_weighted_priority",
     "dedup_embedding_lsh_hi",
     "dedup_containment",
+    "dedup_paragraph",
+    "graph_hits",
+    "events_range_join",
 ]
 
 

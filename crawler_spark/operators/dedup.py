@@ -1048,3 +1048,75 @@ cont_shf AS (SELECT s.doc_id, s.sh FROM cont_sh s
              JOIN freq f ON s.sh = f.sh WHERE f.df <= {DF_CAP}),
 {_containment_final("cont_sh", pct10).lstrip().removeprefix("WITH ")}
 """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet, Wenzek et al. 2020, arXiv:
+# 1911.00359 §3.2; also RefinedWeb/Gopher preprocessing): hash every
+# paragraph, keep only the corpus-wide FIRST occurrence of each hash,
+# report per-document survival. Web boilerplate (nav bars, footers,
+# cookie banners) repeats across documents while the documents
+# themselves are not near-duplicates — whole-doc dedup (dedup_exact /
+# MinHash) cannot remove it; paragraph dedup is the standard pass that
+# does. Reference analog: none (the reference dedups whole images by
+# MD5, HZ.Crawler.DataSpider/BaseSpider.cs:275-287).
+#
+# The sf corpus has no newline structure, so "paragraph" is a
+# deterministic fixed-width segmentation (PARA_W-token windows, ragged
+# tail kept) — at production scale the segmentation swaps for
+# split-on-'\n' with the pipeline unchanged.
+#
+# Spark shape: ONE shuffle on the paragraph hash. The first-occurrence
+# rule is two stacked aggregations (min doc_id per hash, then min
+# para-offset within that doc) — both with map-side partial
+# aggregation, so a boilerplate paragraph repeated 10^8 times collapses
+# to one row per partition before the shuffle; no window function, no
+# skew risk. The per-doc rollup shuffles on doc_id (bounded groups:
+# paragraphs per doc). Survival fraction emitted as tie-free integer
+# basis points (floor(n*10000/m), exact under 2^53 — no round(x,4)
+# cross-engine boundary).
+# ---------------------------------------------------------------------------
+
+PARA_W = 12  # tokens per synthetic paragraph (ragged tail kept)
+
+
+def _paragraph_body(paras: str) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+p AS (SELECT doc_id, {paras}
+firsts AS (SELECT h, min(doc_id) AS mind FROM p GROUP BY h),
+firstp AS (
+  SELECT p.h, p.doc_id, min(p.pidx) AS minp
+  FROM p JOIN firsts f ON p.h = f.h AND p.doc_id = f.mind
+  GROUP BY p.h, p.doc_id),
+perdoc AS (
+  SELECT p.doc_id,
+         count(*) AS n_paras,
+         count(f.minp) AS kept_paras
+  FROM p LEFT JOIN firstp f
+    ON p.h = f.h AND p.doc_id = f.doc_id AND p.pidx = f.minp
+  GROUP BY p.doc_id)
+SELECT doc_id, n_paras, kept_paras,
+       n_paras - kept_paras AS dup_paras,
+       cast(floor(cast(kept_paras AS double) * 10000 / n_paras) AS BIGINT)
+         AS kept_bp
+FROM perdoc
+"""
+
+
+def paragraph_dedup_spark(w: int = PARA_W) -> str:
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    paras = f"""p AS pidx,
+       md5(cast(array_join(slice(toks, p + 1, {w}), ' ') AS binary)) AS h
+      FROM t LATERAL VIEW explode(
+        sequence(0, greatest(size(toks) - 1, 0), {w})) AS p),"""
+    return _paragraph_body(paras).format(toks=toks)
+
+
+def paragraph_dedup_duck(w: int = PARA_W) -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    paras = f"""p AS pidx,
+       md5(array_to_string(toks[p + 1:p + {w}], ' ')) AS h
+      FROM t, unnest(generate_series(0, greatest(len(toks) - 1, 0), {w}))
+        AS u(p)),"""
+    return _paragraph_body(paras).format(toks=toks)

@@ -162,3 +162,132 @@ deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
 SELECT outdeg, count(*) AS n_nodes
 FROM deg GROUP BY outdeg
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg, JACM 1999, "Authoritative sources in a hyperlinked
+# environment"): the second canonical frontier-prioritization signal
+# next to PageRank — hubs (pages that link to many good authorities)
+# matter for crawl scheduling because fetching a high-hub page yields
+# many high-authority outlinks per fetch. Reference analog: none (the
+# reference crawls a fixed config-ordered list); this is the scale
+# operator a 10^10-URL frontier needs.
+#
+# Spark shape: identical to pagerank's — each half-round is one join
+# keyed on an edge endpoint plus one hash aggregation, the SAME shuffle
+# key every round (edges bucketed once at cluster scale, only the tiny
+# (node_id, score) relation moves). Normalization divides by the
+# round's max score — max over floats is order-independent (unlike a
+# float sum), so both engines normalize by the bit-identical scalar; it
+# rides along as a 1-row broadcast nested-loop join, never a driver
+# collect. ``localCheckpoint`` truncates lineage per round. Final
+# scores rounded to 9 dp: scores live in (0, 1] after the max-norm and
+# cross-engine float-sum noise is ~1e-13 relative (same margin argument
+# as pagerank, which passes at depth 3).
+# ---------------------------------------------------------------------------
+
+HITS_ITERATIONS = 2  # oracle-checked depth; hits() takes any K
+
+
+def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
+    """HITS over directed (src, dst) edges, max-normalized per round.
+    Returns (node_id, auth, hub) for every node with an out-edge (feed
+    a symmetrized graph so that is every node)."""
+    edges = edges.select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node_id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iterations):
+        # auth(i) <- sum of hub over in-neighbors of i
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node_id", "src"), "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            nodes.join(a_raw, "node_id", "left")
+            .select("node_id", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .crossJoin(a_raw.agg(F.max("a").alias("amax")))
+            .select("node_id", (F.col("a") / F.col("amax")).alias("a"))
+            .localCheckpoint()
+        )
+        # hub(i) <- sum of (new) auth over out-neighbors of i
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = (
+            nodes.join(h_raw, "node_id", "left")
+            .select("node_id", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .crossJoin(h_raw.agg(F.max("h").alias("hmax")))
+            .select("node_id", (F.col("h") / F.col("hmax")).alias("h"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return auth.join(hub, "node_id").select(
+        "node_id", F.col("a").alias("auth"), F.col("h").alias("hub")
+    )
+
+
+def hits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked entry: K=2 HITS over the same symmetrized
+    supplier↔customer graph pagerank walks, 9-dp rounded."""
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(
+            os.path.join(sf_dir, f"{t}.parquet")
+        ).createOrReplaceTempView(t)
+    out = hits(spark.sql(EDGES_SQL))
+    return out.select(
+        "node_id",
+        F.round("auth", 9).alias("auth"),
+        F.round("hub", 9).alias("hub"),
+    )
+
+
+def hits_duck(iterations: int = HITS_ITERATIONS) -> str:
+    """The same K rounds unrolled as CTEs (exact same arithmetic,
+    including the order-independent max normalization)."""
+    ctes = [
+        f"links AS ({_LINKS})",
+        f"""edges AS (
+  SELECT s AS src, c + {_CUST_OFFSET} AS dst FROM links
+  UNION ALL
+  SELECT c + {_CUST_OFFSET} AS src, s AS dst FROM links
+)""",
+        "nodes AS (SELECT DISTINCT src AS node_id FROM edges)",
+        "h0 AS (SELECT node_id, 1.0 AS h FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""a{k}r AS (
+  SELECT e.dst AS node_id, sum(p.h) AS a
+  FROM edges e JOIN h{k - 1} p ON p.node_id = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""a{k} AS (
+  SELECT v.node_id,
+         coalesce(r.a, 0.0) / (SELECT max(a) FROM a{k}r) AS a
+  FROM nodes v LEFT JOIN a{k}r r ON r.node_id = v.node_id
+)""")
+        ctes.append(f"""h{k}r AS (
+  SELECT e.src AS node_id, sum(p.a) AS h
+  FROM edges e JOIN a{k} p ON p.node_id = e.dst
+  GROUP BY e.src
+)""")
+        ctes.append(f"""h{k} AS (
+  SELECT v.node_id,
+         coalesce(r.h, 0.0) / (SELECT max(h) FROM h{k}r) AS h
+  FROM nodes v LEFT JOIN h{k}r r ON r.node_id = v.node_id
+)""")
+    k = iterations
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node_id, round(a.a, 9) AS auth, round(h.h, 9) AS hub
+FROM a{k} a JOIN h{k} h ON a.node_id = h.node_id"""
+    )

@@ -871,6 +871,36 @@ _REL["crawl_snapshot_diff"] = Query(
     ),
 )
 
+_RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       count(c.event_id) AS n_prior_clicks,
+       max(c.ts) AS last_click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 24 HOUR
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+_REL["events_range_join"] = Query(
+    # Range/interval join — attribution: every purchase joined to the
+    # same user's clicks in the trailing 24 h window. The operator
+    # Spark lacks as a primitive and a recrawl/attribution pipeline
+    # needs constantly. Plan shape: equi-join on user_id (ONE shuffle
+    # key for both sides) with the time-range predicate evaluated
+    # inside the sort-merge join — never a cartesian product; the
+    # purchase filter pushes to the scan. Per-user groups bound the
+    # match fan-out; a mega-user skews exactly like any join key and is
+    # handled by AQE skew-join (enabled session-wide). Outputs are
+    # count/max only — no float sum to diverge cross-engine, no HUGEINT
+    # (DuckDB count() is BIGINT).
+    spark_sql=_RANGE_JOIN_SQL,
+    oracle=_RANGE_JOIN_SQL,
+)
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -1108,6 +1138,25 @@ _TRAIN: dict[str, Query] = {
         fn=graph.pagerank_df,
         oracle=graph.pagerank_duck(),
     ),
+    "graph_hits": Query(
+        # the second frontier-prioritization signal (Kleinberg HITS):
+        # hubs yield many good outlinks per fetch. Same per-round
+        # join+agg shuffle shape as pagerank; max-normalization is
+        # order-independent (float max, not sum) and rides as a 1-row
+        # broadcast join; DuckDB oracle unrolls the same K=2 rounds
+        fn=graph.hits_df,
+        oracle=graph.hits_duck(),
+    ),
+    "dedup_paragraph": Query(
+        # CCNet paragraph-level exact dedup (Wenzek 2020 §3.2): corpus-
+        # wide first-occurrence keep rule over paragraph hashes — the
+        # boilerplate-removal pass whole-doc dedup can't do. One
+        # shuffle on the hash; first-occurrence via two stacked min-
+        # aggs (map-side partials, no window ⇒ boilerplate mega-groups
+        # collapse before the shuffle)
+        spark_sql=dedup.paragraph_dedup_spark(),
+        oracle=dedup.paragraph_dedup_duck(),
+    ),
     "text_pack_sequences": Query(
         # LM concat-and-chunk sequence packing: windowed integer cumsum
         # over salted (lang, shard) streams → seq_id/offset by div/mod;
@@ -1273,6 +1322,9 @@ FROM documents
 _FRONT_OF_WINDOW = [
     # round-3 additions + the 5 rows red in CORRECTNESS_r02 (HUGEINT
     # representation, fixed this round — need fresh driver rows)
+    "events_range_join",
+    "dedup_paragraph",
+    "graph_hits",
     "text_length_hist",
     "text_word_entropy",
     "sketch_quantile_hist",

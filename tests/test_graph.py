@@ -50,3 +50,63 @@ def test_iteration_plan_is_checkpoint_truncated(spark):
     plan = pr._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+# --------------------------------------------------------------------------
+# HITS
+# --------------------------------------------------------------------------
+
+def test_hits_star_center_is_the_hub_and_authority(spark):
+    from crawler_spark.operators.graph import hits
+
+    # symmetrized 5-leaf star: the center is pointed at by every leaf →
+    # it dominates AUTHORITY (pinned to 1.0 by the max-norm; leaves get
+    # exactly 1/5). Hub is uniform here BY THE MATH: every node's out-
+    # neighborhood sums to the same value (center: 5 leaves × 0.2,
+    # leaf: 1 center × 1.0) — assert that exactly, it's the fixpoint.
+    out = hits(_edges(spark, [(1, k) for k in range(2, 7)]))
+    rows = {r.node_id: (r.auth, r.hub) for r in out.collect()}
+    assert set(rows) == set(range(1, 7))
+    assert rows[1] == (1.0, 1.0)
+    for k in range(2, 7):
+        assert rows[k] == (0.2, 1.0)
+
+
+def test_hits_directed_fanout_node_dominates_hub(spark):
+    from crawler_spark.operators.graph import hits
+
+    # directed: 1 → {2,3,4} plus a 2→3→4→2 cycle so every node has an
+    # out-edge. 1 has no in-edges → auth 0; it points at all three
+    # authorities → max hub (pinned to 1.0), cycle nodes' hubs strictly
+    # smaller (each points at one authority)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (4, 2)],
+        "src long, dst long",
+    )
+    rows = {r.node_id: (r.auth, r.hub) for r in hits(edges).collect()}
+    assert rows[1][0] == 0.0 and rows[1][1] == 1.0
+    for k in (2, 3, 4):
+        assert rows[k][0] > 0.0
+        assert rows[k][1] < 1.0
+
+
+def test_hits_scores_normalized_at_sf(spark):
+    from crawler_spark.operators.graph import hits_df
+
+    out = hits_df(spark, SF_DIR).collect()
+    auths = [r.auth for r in out]
+    hubs = [r.hub for r in out]
+    assert max(auths) == 1.0 and max(hubs) == 1.0
+    assert min(auths) > 0.0 and min(hubs) > 0.0
+
+
+def test_hits_iteration_plan_is_checkpoint_truncated(spark):
+    from crawler_spark.operators.graph import hits
+
+    # same lineage-truncation contract as pagerank: the returned plan
+    # joins only the two checkpointed K-round results, never replays
+    # the per-round join chain (≤1 Join in the optimized plan)
+    out = hits(_edges(spark, [(1, 2), (2, 3)]), iterations=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 1
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan

@@ -769,3 +769,73 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window finalized EXACTLY ONCE, with the two on-time
     # rows only — the 100.0 straggler neither merged nor re-opened it
     assert mine == [(2, 3.0)], emitted
+
+
+def test_paragraph_dedup_planted_duplicates(spark, tmp_path):
+    """CCNet paragraph dedup: the corpus-wide FIRST occurrence of each
+    paragraph hash survives, every later occurrence (cross-doc copy,
+    shared boilerplate prefix, intra-doc repeat) is flagged dup."""
+    from crawler_spark.operators import dedup
+
+    w = dedup.PARA_W
+    para_a = " ".join(f"a{i}" for i in range(w))   # shared boilerplate
+    para_b = " ".join(f"b{i}" for i in range(w))
+    para_c = " ".join(f"c{i}" for i in range(w))
+    rows = [
+        (1, f"{para_a} {para_b}"),                  # first owner of a, b
+        (2, f"{para_a} {para_c}"),                  # a is boilerplate dup
+        (3, f"{para_a} {para_b}"),                  # full copy of doc 1
+        (4, f"{para_c} {para_c}"),                  # both paras seen in doc 2
+        (5, "tail only short"),                     # single ragged paragraph
+    ]
+    schema = "doc_id long, text string"
+    p = str(tmp_path / "pdocs.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r.doc_id: (r.n_paras, r.kept_paras, r.dup_paras, r.kept_bp)
+            for r in spark.sql(dedup.paragraph_dedup_spark()).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got[1] == (2, 2, 0, 10000)   # first occurrences of a and b
+    assert got[2] == (2, 1, 1, 5000)    # a already seen, c fresh
+    assert got[3] == (2, 0, 2, 0)       # exact copy — nothing survives
+    # doc 4: both paragraphs are para_c — seen first in doc 2, so even
+    # the doc's own first occurrence is a dup (corpus-wide rule)
+    assert got[4] == (2, 0, 2, 0)
+    assert got[5] == (1, 1, 0, 10000)   # ragged tail is a paragraph
+
+
+def test_paragraph_dedup_oracle_on_planted_corpus(spark, tmp_path):
+    """Cross-engine parity on the planted corpus (the sf-dir parity run
+    lives in test_queries_oracle; this pins the edge rows: ragged
+    tails, intra-doc repeats, corpus-wide first-occurrence ties)."""
+    import duckdb
+
+    from crawler_spark.operators import dedup
+
+    w = dedup.PARA_W
+    texts = [
+        " ".join(f"t{i % 7}" for i in range(3 * w + 5)),   # ragged tail
+        " ".join(f"t{i % 7}" for i in range(3 * w + 5)),   # exact copy
+        " ".join(f"u{i}" for i in range(w)) * 1,
+        "one-word",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    p = str(tmp_path / "pdocs2.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    try:
+        got = {tuple(r) for r in spark.sql(dedup.paragraph_dedup_spark()).collect()}
+        exp = {tuple(r) for r in con.execute(dedup.paragraph_dedup_duck()).fetchall()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got == exp

@@ -430,3 +430,19 @@ def test_quantile_hist_no_value_sort(spark):
 
     for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
         assert "value" not in m.group(1), plan
+
+
+def test_range_join_is_equi_keyed_never_cartesian(spark):
+    """The attribution range join must key the join on user_id (hash-
+    shuffleable / broadcastable) with the time-range as a residual join
+    condition — never a cartesian/nested-loop over event pairs — and
+    both event_type filters must reach the parquet scan."""
+    from crawler_spark.queries import all_queries
+
+    df = all_queries()["events_range_join"].run(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert "EqualTo(event_type,click)" in plan, plan
