@@ -1120,3 +1120,73 @@ def paragraph_dedup_duck(w: int = PARA_W) -> str:
       FROM t, unnest(generate_series(0, greatest(len(toks) - 1, 0), {w}))
         AS u(p)),"""
     return _paragraph_body(paras).format(toks=toks)
+
+
+def paragraph_dedup_rewrite(docs, w: int = PARA_W):
+    """Pipeline form of ``dedup_paragraph``: REWRITE each document to
+    its surviving paragraphs (corpus-wide first occurrence per
+    normalized-paragraph hash), preserving original casing/spacing at
+    word granularity; documents whose every paragraph was seen earlier
+    vanish. Input/output schema: (doc_id, text, lang, source, n_chars)
+    — n_chars recomputed from the rewritten text.
+
+    Shuffle budget: one on the paragraph hash (two stacked min-aggs,
+    map-side partials), one on doc_id for the rebuild (bounded groups:
+    paragraphs per doc). The rebuild sorts only INSIDE each collect_list
+    (array_sort over ≤ paragraphs-per-doc structs) — no window, no
+    global sort.
+    """
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    paras = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, greatest(size(toks) - 1, 0), {w})")
+        ).alias("pidx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pidx",
+        F.expr(f"array_join(slice(toks, pidx + 1, {w}), ' ')").alias(
+            "ptext"
+        ),
+    ).withColumn("h", F.md5(F.lower("ptext").cast("binary")))
+
+    firsts = (
+        paras.groupBy("h")
+        .agg(F.min("doc_id").alias("fdoc"))
+        .withColumnRenamed("h", "fh")
+    )
+    firstp = (
+        paras.join(
+            firsts,
+            (F.col("h") == F.col("fh")) & (F.col("doc_id") == F.col("fdoc")),
+        )
+        .groupBy("fh", "fdoc")
+        .agg(F.min("pidx").alias("minp"))
+    )
+    kept = paras.join(
+        firstp,
+        (F.col("h") == F.col("fh"))
+        & (F.col("doc_id") == F.col("fdoc"))
+        & (F.col("pidx") == F.col("minp")),
+    ).select("doc_id", "pidx", "ptext")
+
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
+                lambda x: x["ptext"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return (
+        docs.drop("text", "n_chars")
+        .join(rebuilt, "doc_id")
+        .withColumn("n_chars", F.length("text"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

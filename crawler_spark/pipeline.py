@@ -105,24 +105,30 @@ def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
 
 
 def _stage_load(
-    spark: SparkSession, out_dir: str | None, stage: str
+    spark: SparkSession, out_dir: str | None, stage: str, full: bool = False
 ) -> DataFrame | None:
     """Return the committed survivor frame for ``stage`` (ids joined
     back onto the current documents view) if the stage already ran
     with this out_dir, else None. Resume is fenced by
     ``_check_fingerprint``: run_training_pipeline refuses earlier if
-    the committed checkpoints belong to a different input corpus."""
+    the committed checkpoints belong to a different input corpus.
+
+    ``full``: the stage REWRITES rows (paragraph dedup) — its
+    checkpoint is the whole frame, loaded directly; an id-rejoin onto
+    the pre-rewrite view would silently resurrect the original text."""
     if out_dir is None:
         return None
     final = os.path.join(out_dir, "stages", stage)
     if not os.path.isdir(final):
         return None
-    ids = spark.read.parquet(final)
-    return spark.table("documents").join(ids, "doc_id")
+    committed = spark.read.parquet(final)
+    if full:
+        return committed
+    return spark.table("documents").join(committed, "doc_id")
 
 
 def _stage_commit(
-    out_dir: str | None, stage: str, docs: DataFrame
+    out_dir: str | None, stage: str, docs: DataFrame, full: bool = False
 ) -> None:
     """Crash-safe stage boundary: write the survivor ids to a temp
     name, then atomic rename — the Iceberg-commit pattern
@@ -138,7 +144,8 @@ def _stage_commit(
         return
     final = os.path.join(out_dir, "stages", stage)
     tmp = final + ".tmp"
-    docs.select("doc_id").write.mode("overwrite").parquet(tmp)
+    out = docs if full else docs.select("doc_id")
+    out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
 
@@ -148,6 +155,7 @@ def run_training_pipeline(
     documents: DataFrame,
     out_dir: str | None = None,
     dsir_keep_permille: int | None = None,
+    paragraph_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation flow over ``documents`` (schema: doc_id,
     text, lang, source, n_chars). Returns (packed frame, per-stage row
@@ -165,7 +173,13 @@ def run_training_pipeline(
     at 10^10 docs swap in the bounded-bin threshold from the
     q:sketch_quantile_hist pattern — the gate rule itself (integer
     score >= integer threshold, ties keep) is unchanged. ``None``
-    (default) skips the stage, keeping the published accounting."""
+    (default) skips the stage, keeping the published accounting.
+
+    ``paragraph_dedup``: optional CCNet paragraph-granularity pass
+    between exact dedup and near-dup dedup — REWRITES each doc to its
+    corpus-wide-first-occurrence paragraphs (q:dedup_paragraph rule,
+    operators/dedup.py:paragraph_dedup_rewrite); docs left empty
+    vanish. Off by default, keeping the published accounting."""
     counts: dict[str, int] = {}
     docs = _rebind(spark, documents)
     fp = _input_fingerprint(docs)
@@ -199,6 +213,19 @@ def run_training_pipeline(
         docs = loaded
     docs = _rebind(spark, docs)
     counts["exact_dedup"] = docs.count()
+
+    # 2b. optional CCNet paragraph-level dedup (q:dedup_paragraph rule,
+    #     rewriting text): boilerplate paragraphs survive whole-doc
+    #     dedup — this is the pass that removes them
+    if paragraph_dedup:
+        loaded = _stage_load(spark, out_dir, "paragraph_dedup", full=True)
+        if loaded is None:
+            docs = dedup.paragraph_dedup_rewrite(docs)
+            _stage_commit(out_dir, "paragraph_dedup", docs, full=True)
+        else:
+            docs = loaded
+        docs = _rebind(spark, docs)
+        counts["paragraph_dedup"] = docs.count()
 
     # 3. near-dup dedup: LSH pairs → components → canonical per cluster
     #    (q:dedup_minhash_lsh candidates, q:dedup_components closure)

@@ -55,6 +55,7 @@ OPS = [
     "sample_importance",
     "sample_weighted_priority",
     "dedup_containment",
+    "dedup_paragraph",
 ]
 
 # 64-dim md5-seeded unit-free embeddings in [-1, 1]; 2% planted exact

@@ -32,6 +32,12 @@ def main() -> None:
         help="optional DSIR importance gate: keep the top N permille of "
              "CCNet survivors by hashed-unigram importance weight",
     )
+    ap.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="optional CCNet paragraph-level dedup between exact and "
+             "near-dup dedup: rewrite each doc to its corpus-wide "
+             "first-occurrence paragraphs (boilerplate removal)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +58,7 @@ def main() -> None:
     _, counts = run_training_pipeline(
         spark, docs, out_dir=args.out,
         dsir_keep_permille=args.dsir_keep_permille,
+        paragraph_dedup=args.paragraph_dedup,
     )
     wall = time.monotonic() - t0
     print(

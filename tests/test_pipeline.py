@@ -219,3 +219,47 @@ def test_pipeline_optional_dsir_gate(spark, tmp_path):
     _, counts_off = run_training_pipeline(spark, _docs(spark))
     assert "dsir_gate" not in counts_off
     assert counts_off["packed_docs"] == counts_off["ccnet_gate"]
+
+
+def test_pipeline_optional_paragraph_dedup_stage(spark, tmp_path):
+    """paragraph_dedup=True inserts the CCNet paragraph pass between
+    exact and near-dup dedup: text is REWRITTEN (chars can only
+    shrink), the stage count can only shrink vs exact_dedup, survivors
+    still pack, the committed stage resumes byte-identically, and the
+    default-off path keeps the published accounting."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline import run_training_pipeline
+
+    packed, counts = run_training_pipeline(
+        spark, _docs(spark), out_dir=str(tmp_path), paragraph_dedup=True
+    )
+    assert counts["paragraph_dedup"] <= counts["exact_dedup"]
+    assert counts["near_dup_dedup"] <= counts["paragraph_dedup"]
+    # the rewrite is non-vacuous at sf0.01: total surviving chars drop
+    # (boilerplate paragraphs removed from quality-gate survivors)
+    stage_dir = tmp_path / "stages" / "paragraph_dedup"
+    rewritten = spark.read.parquet(str(stage_dir))
+    assert rewritten.agg(F.sum("n_chars")).first()[0] > 0
+    # every rewritten doc is no longer than its original
+    orig = _docs(spark).select("doc_id", F.col("n_chars").alias("orig"))
+    grew = (
+        rewritten.join(orig, "doc_id").where("n_chars > orig").count()
+    )
+    assert grew == 0
+    # n_chars is consistent with the rewritten text
+    bad = rewritten.where(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+    # resume reproduces identical accounting + packing
+    packed2, counts2 = run_training_pipeline(
+        spark, _docs(spark), out_dir=str(tmp_path), paragraph_dedup=True
+    )
+    assert counts2 == counts
+    assert sorted(map(tuple, packed2.collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+
+    # default-off path unchanged
+    _, counts_off = run_training_pipeline(spark, _docs(spark))
+    assert "paragraph_dedup" not in counts_off
