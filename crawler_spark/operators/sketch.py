@@ -127,6 +127,111 @@ FROM agg a JOIN ex e ON a.lang = e.lang
 
 
 # ---------------------------------------------------------------------------
+# HLL sketch MERGE across sources — the property the sketch exists for
+# ---------------------------------------------------------------------------
+# At 100 TB the corpus arrives as shards (per-dump, per-source, per-
+# partition); the whole point of HLL over COUNT(DISTINCT) is that the
+# 64-cell per-shard sketches MERGE by per-bucket max into the corpus-
+# wide sketch without rescanning a single token (Flajolet 2007 §4 —
+# union cardinality is lossless under max-merge, the same property
+# the stream_quantile_hist additive bins demonstrate for histograms).
+# This operator emits one row per source (the per-shard sketch's
+# estimate) plus one '__ALL__' row whose estimate is computed PURELY
+# from max-merging the per-source (bucket, rank) grids — the shuffle
+# after the per-source sketch stage carries ≤ 64 rows per source,
+# ever. exact_distinct audits each row (same contract as
+# sketch_hll_vocab); merged == direct holds by construction
+# (max-of-per-source-max = corpus max), asserted by pytest.
+#
+# Key domain: word BIGRAMS, not unigrams — the sf corpus draws every
+# source from one tiny shared vocabulary (~31 words), so per-source
+# unigram sketches are identical and a union would be vacuous; bigram
+# sets genuinely differ per source (≈700 per source vs 916 union at
+# sf0.01), so the '__ALL__' row strictly exceeds every shard.
+
+
+def _hll_union_body(estimate: str) -> str:
+    """Shared estimator tail over a view `u` of (source, j, m) rows —
+    per-source sketches UNION one max-merged '__ALL__' sketch."""
+    return f"""
+r2 AS (
+  SELECT source, j, m FROM u
+  UNION ALL
+  SELECT '__ALL__' AS source, j, max(m) AS m FROM u GROUP BY j),
+grid AS (
+  SELECT s.source, g.j
+  FROM (SELECT DISTINCT source FROM r2) s CROSS JOIN buckets g),
+mm AS (
+  SELECT grid.source, coalesce(r2.m, 0) AS m
+  FROM grid LEFT JOIN r2 ON grid.source = r2.source AND grid.j = r2.j),
+agg AS (
+  SELECT source,
+         {estimate} AS s,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+  FROM mm GROUP BY source),
+ex AS (
+  SELECT source, count(DISTINCT token) AS exact_distinct FROM toks
+  GROUP BY source
+  UNION ALL
+  SELECT '__ALL__', count(DISTINCT token) FROM toks)
+SELECT a.source,
+       round(CASE WHEN ({_NUM} / a.s) <= {_LC_THRESHOLD} AND a.v0 > 0
+                  THEN cast({_M} AS double) * ln(cast({_M} AS double) / a.v0)
+                  ELSE ({_NUM} / a.s) END, 4) AS hll_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e ON a.source = e.source
+"""
+
+
+def hll_union_views_spark() -> tuple[list[tuple[str, str]], str]:
+    views = [
+        (
+            "hllu_toks_v",
+            f"""WITH t AS (SELECT source, {SPARK_WORDS} AS w FROM documents)
+SELECT source,
+       concat(w[p - 1], ' ', w[p]) AS token
+FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) AS p
+WHERE size(w) >= 2""",
+        ),
+        (
+            "hllu_sketch_v",
+            f"""WITH h AS (
+  SELECT source,
+         cast(conv(substring(md5(token), 1, 12), 16, 10) AS bigint) AS v
+  FROM hllu_toks_v),
+b AS (SELECT source, v div {_W_MOD} AS j, v % {_W_MOD} AS w FROM h)
+SELECT source, j, max({_RHO_SPARK}) AS m FROM b GROUP BY source, j""",
+        ),
+    ]
+    final = (
+        "WITH toks AS (SELECT source, token FROM hllu_toks_v),\n"
+        "u AS (SELECT source, j, m FROM hllu_sketch_v),\n"
+        f"buckets AS (SELECT explode(sequence(0, {_M - 1})) AS j),\n"
+        + _hll_union_body(
+            f"sum(shiftleft(cast(1 AS bigint), {_SCALE_POW} - m))"
+        )
+    )
+    return views, final
+
+
+def hll_union_duck() -> str:
+    return (
+        f"""WITH t AS (SELECT source, {DUCK_WORDS} AS w FROM documents),
+toks AS (
+  SELECT source, w[p] || ' ' || w[p + 1] AS token
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(p)
+  WHERE len(w) >= 2),
+h AS (
+  SELECT source, ('0x' || substring(md5(token), 1, 12))::BIGINT AS v
+  FROM toks),
+b AS (SELECT source, v // {_W_MOD} AS j, v % {_W_MOD} AS w FROM h),
+u AS (SELECT source, j, max({_RHO_DUCK}) AS m FROM b GROUP BY source, j),
+buckets AS (SELECT unnest(range(0, {_M})) AS j),\n"""
+        + _hll_union_body(f"sum((1::BIGINT << ({_SCALE_POW} - m)))")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 # Cormode & Muthukrishnan 2005 ("An improved data stream summary: the

@@ -1180,6 +1180,16 @@ _TRAIN: dict[str, Query] = {
         fn=_views_fn(*sketch.hll_views_spark()),
         oracle=sketch.hll_duck(),
     ),
+    "sketch_hll_union": Query(
+        # the sketch-MERGE property (why HLL replaces COUNT(DISTINCT)
+        # on a sharded corpus): per-source bigram sketches max-merged
+        # into the corpus-wide estimate without rescanning a token —
+        # post-sketch shuffle carries ≤64 rows/source; '__ALL__' row
+        # strictly exceeds every shard (bigram domain: per-source sets
+        # genuinely differ; unigrams would be vacuous on the sf vocab)
+        fn=_views_fn(*sketch.hll_union_views_spark()),
+        oracle=sketch.hll_union_duck(),
+    ),
     "text_script_mix": Query(
         # codepoint-class composition (latin/digit/CJK/space/other) by
         # length subtraction — all-integer map-side projection, the
@@ -1325,6 +1335,7 @@ _FRONT_OF_WINDOW = [
     "events_range_join",
     "dedup_paragraph",
     "graph_hits",
+    "sketch_hll_union",
     "text_length_hist",
     "text_word_entropy",
     "sketch_quantile_hist",

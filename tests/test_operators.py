@@ -839,3 +839,38 @@ def test_paragraph_dedup_oracle_on_planted_corpus(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("documents")
     assert got == exp
+
+
+def test_hll_union_merge_is_lossless_and_bounded(spark):
+    """sketch_hll_union: the '__ALL__' row must (a) strictly exceed
+    every per-source estimate on the sf corpus (bigram sets genuinely
+    differ per source), (b) equal the estimate computed DIRECTLY over
+    the un-sharded corpus — max-merge is lossless by Flajolet §4 —
+    and (c) sit within the m=64 HLL error envelope of the exact
+    distinct count."""
+    from crawler_spark.operators import sketch
+    from crawler_spark.queries import all_queries
+
+    rows = {
+        r.source: (r.hll_distinct, r.exact_distinct)
+        for r in all_queries()["sketch_hll_union"].run(spark, SF_DIR).collect()
+    }
+    union_est, union_exact = rows.pop("__ALL__")
+    assert all(union_est > est for est, _ in rows.values())
+    # direct computation over the corpus with source collapsed: rewrite
+    # the per-source sketch to a single shard — the merged estimate
+    # must come out identical (max of per-source max == corpus max)
+    views, final = sketch.hll_union_views_spark()
+    direct_views = [
+        (n, s.replace("SELECT source,", "SELECT 'one' AS source,"))
+        for n, s in views
+    ]
+    from crawler_spark.queries import _views_fn
+
+    direct = {
+        r.source: r.hll_distinct
+        for r in _views_fn(direct_views, final)(spark, SF_DIR).collect()
+    }
+    assert direct["__ALL__"] == union_est == direct["one"]
+    # m=64 standard error is 1.04/8 = 13%; allow 3 sigma
+    assert abs(union_est - union_exact) <= 0.4 * union_exact
