@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "dedup_paragraph",
     "graph_hits",
     "events_range_join",
+    "sketch_hll_union",
+    "sample_temperature",
+    "text_bigram_pmi",
 ]
 
 

@@ -941,6 +941,54 @@ WHERE bucket * cnt < min_cnt * {_BAL_BUCKETS}
 
 
 # ---------------------------------------------------------------------------
+# √-temperature language sampling (mT5 / XLM-R mixing, α = 0.5)
+# ---------------------------------------------------------------------------
+# Full balancing (SAMPLE_BALANCED above) flattens the mix to the rarest
+# language — multilingual LM training instead samples language l with
+# probability ∝ (n_l)^α, α ≈ 0.3–0.7 (Xue et al. 2021 "mT5" §3.1;
+# Conneau et al. 2020 "XLM-R" §3): big languages are DAMPED, not
+# flattened. α = 0.5 makes the per-doc keep rate r_l = sqrt(min/n_l),
+# which squares into the same no-float integer cross-multiplication
+# device as the balanced sampler:
+#   keep  ⇔  bucket² · cnt_l < min_cnt · B²
+# (P(keep) = |{bucket < B·sqrt(min/cnt)}| / B ≈ sqrt(min/cnt)). The
+# rarest language keeps everything; one 100× larger keeps 10% (vs 1%
+# under full balancing). Same 100 TB shape: one tiny census agg
+# broadcast back, then pure map-side — no rank window. B = 2^16 keeps
+# bucket²·cnt < 2^62 for languages up to 2^30 docs; widen the
+# arithmetic to int128/DECIMAL beyond that.
+
+_TEMP_BUCKETS = 1 << 16
+
+SAMPLE_TEMPERATURE_SPARK = f"""
+WITH lc AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM lc),
+b AS (
+  SELECT d.doc_id, d.lang,
+         cast(conv(substring(md5(concat(cast(d.doc_id AS string), ':temp')),
+                             1, 8), 16, 10) AS bigint) % {_TEMP_BUCKETS}
+           AS bucket,
+         lc.cnt, m.min_cnt
+  FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket * bucket * cnt < min_cnt * {_TEMP_BUCKETS * _TEMP_BUCKETS}
+"""
+
+SAMPLE_TEMPERATURE_DUCK = f"""
+WITH lc AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM lc),
+b AS (
+  SELECT d.doc_id, d.lang,
+         ('0x' || substring(md5(d.doc_id::VARCHAR || ':temp'), 1, 8))::BIGINT
+           % {_TEMP_BUCKETS} AS bucket,
+         lc.cnt, m.min_cnt
+  FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket * bucket * cnt < min_cnt * {_TEMP_BUCKETS}::BIGINT * {_TEMP_BUCKETS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style hashed-unigram importance weights
 # ---------------------------------------------------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023,
@@ -1077,3 +1125,77 @@ FROM b
 ORDER BY priority DESC, doc_id
 LIMIT {_PRI_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocation mining
+# ---------------------------------------------------------------------------
+# Pointwise mutual information over adjacent word pairs (Church &
+# Hanks 1990, "Word association norms, mutual information, and
+# lexicography") — the classic collocation/phrase-mining pass a
+# tokenizer-training pipeline runs to decide merge candidates.
+# PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) = c_xy/nb,
+# p(x) = c_x/n, evaluated as ONE ln over an identically-computed
+# double (no BIGINT n² intermediate to overflow) and milli-rounded to
+# an integer — the same cross-engine float discipline as
+# unigram_logprob. min-count floor 5 (Church & Hanks' sparse-pair
+# caveat: PMI explodes on hapax pairs).
+#
+# Plan shape: two hash aggs over the shared words-array view (bigram
+# counts ≤ vocab², unigram counts ≤ vocab), two broadcast-size joins
+# of counts back onto the bigram relation, global top-k as
+# TakeOrderedAndProject (never a full sort). The corpus is scanned
+# once (checkpointed words view); everything after the two aggs is
+# sized by the VOCABULARY, not the corpus.
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def _pmi_final(uni_src: str) -> str:
+    return f"""
+WITH uni AS (SELECT token, count(*) AS c FROM {uni_src} GROUP BY token),
+n AS (SELECT cast(sum(c) AS BIGINT) AS n FROM uni),
+big AS (SELECT x, y, count(*) AS cxy FROM pmi_big_v GROUP BY x, y),
+nb AS (SELECT cast(sum(cxy) AS BIGINT) AS nb FROM big),
+scored AS (
+  SELECT b.x, b.y, b.cxy,
+         cast(round(ln((cast(b.cxy AS double) * n.n * n.n) /
+                       (cast(nb.nb AS double) * ux.c * uy.c)) * 1000, 0)
+              AS bigint) AS pmi_milli
+  FROM big b
+  JOIN uni ux ON b.x = ux.token
+  JOIN uni uy ON b.y = uy.token
+  CROSS JOIN n CROSS JOIN nb
+  WHERE b.cxy >= {PMI_MIN_COUNT})
+SELECT x, y, cxy, pmi_milli FROM scored
+ORDER BY pmi_milli DESC, x, y LIMIT {PMI_TOPK}
+"""
+
+
+def bigram_pmi_views_spark() -> tuple[list[tuple[str, str]], str]:
+    views = [
+        ("pmi_w_v", f"SELECT {SPARK_WORDS} AS w FROM documents"),
+        (
+            "pmi_big_v",
+            """SELECT w[p - 1] AS x, w[p] AS y
+FROM pmi_w_v LATERAL VIEW explode(sequence(1, size(w) - 1)) AS p
+WHERE size(w) >= 2""",
+        ),
+    ]
+    return views, _pmi_final(
+        "(SELECT explode(w) AS token FROM pmi_w_v)"
+    )
+
+
+def bigram_pmi_duck() -> str:
+    return (
+        f"""WITH t AS (SELECT {DUCK_WORDS} AS w FROM documents),
+pmi_big_v AS (
+  SELECT w[p] AS x, w[p + 1] AS y
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(p)
+  WHERE len(w) >= 2),
+toks AS (SELECT unnest(w) AS token FROM t),
+"""
+        + _pmi_final("toks").lstrip().removeprefix("WITH ")
+    )

@@ -1211,6 +1211,14 @@ _TRAIN: dict[str, Query] = {
         spark_sql=sketch.CMS_SPARK,
         oracle=sketch.CMS_DUCK,
     ),
+    "text_bigram_pmi": Query(
+        # collocation mining (Church & Hanks 1990): top-k adjacent word
+        # pairs by milli-rounded PMI, min-count 5 against hapax blow-up;
+        # post-agg everything is vocabulary-sized, top-k is
+        # TakeOrderedAndProject — the tokenizer-merge-candidate pass
+        fn=_views_fn(*textstats.bigram_pmi_views_spark()),
+        oracle=textstats.bigram_pmi_duck(),
+    ),
     "text_tfidf_topk": Query(
         # per-doc salient terms: integer tf × millinat idf, top-3 by
         # (score, token) row_number — deterministic keyword extraction
@@ -1283,6 +1291,15 @@ FROM documents
         spark_sql=textstats.SAMPLE_BALANCED_SPARK,
         oracle=textstats.SAMPLE_BALANCED_DUCK,
     ),
+    "sample_temperature": Query(
+        # mT5/XLM-R α=0.5 temperature mixing: damp (not flatten) big
+        # languages — keep rate sqrt(min/cnt) via the SQUARED integer
+        # cross-multiplication (bucket²·cnt < min·B²), no float rate,
+        # no pow(); same census-broadcast + map-side shape as the
+        # balanced sampler
+        spark_sql=textstats.SAMPLE_TEMPERATURE_SPARK,
+        oracle=textstats.SAMPLE_TEMPERATURE_DUCK,
+    ),
     "sample_importance": Query(
         # DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-unigram
         # importance weights vs the 'en' target slice: 8192 md5 feature
@@ -1336,6 +1353,7 @@ _FRONT_OF_WINDOW = [
     "dedup_paragraph",
     "graph_hits",
     "sketch_hll_union",
+    "text_bigram_pmi",
     "text_length_hist",
     "text_word_entropy",
     "sketch_quantile_hist",
@@ -1347,6 +1365,7 @@ _FRONT_OF_WINDOW = [
     "stream_politeness_rate",
     "stream_quantile_hist",
     "sample_language_balanced",
+    "sample_temperature",
     "sample_importance",
     "w2_sessionize_native",
     "w2_sessionize",

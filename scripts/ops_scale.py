@@ -56,6 +56,8 @@ OPS = [
     "sample_weighted_priority",
     "dedup_containment",
     "dedup_paragraph",
+    "text_bigram_pmi",
+    "sketch_hll_union",
 ]
 
 # 64-dim md5-seeded unit-free embeddings in [-1, 1]; 2% planted exact

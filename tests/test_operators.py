@@ -874,3 +874,38 @@ def test_hll_union_merge_is_lossless_and_bounded(spark):
     assert direct["__ALL__"] == union_est == direct["one"]
     # m=64 standard error is 1.04/8 = 13%; allow 3 sigma
     assert abs(union_est - union_exact) <= 0.4 * union_exact
+
+
+def test_temperature_sampling_rates_follow_sqrt_law(spark):
+    """sample_temperature: per-language kept fraction tracks
+    sqrt(min/cnt) (α=0.5), sitting strictly BETWEEN full balancing
+    (min/cnt) and no sampling for every over-represented language; the
+    rarest language keeps everything."""
+    import math
+
+    from crawler_spark.queries import all_queries
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    census = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    mn = min(census.values())
+    kept = {
+        lang: n
+        for lang, n in (
+            all_queries()["sample_temperature"]
+            .run(spark, SF_DIR)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    rare = min(census, key=census.get)
+    assert kept[rare] == census[rare]
+    for lang, cnt in census.items():
+        expect = math.sqrt(mn / cnt)
+        got = kept[lang] / cnt
+        # binomial noise at these counts: ±3σ
+        sd = math.sqrt(expect * (1 - expect) / cnt) if cnt else 0.0
+        assert abs(got - expect) <= 3 * sd + 1 / cnt, (lang, got, expect)
+        if cnt > mn * 2:  # clearly over-represented
+            assert mn / cnt < got < 1.0

@@ -446,3 +446,12 @@ def test_range_join_is_equi_keyed_never_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "EqualTo(event_type,purchase)" in plan, plan
     assert "EqualTo(event_type,click)" in plan, plan
+
+
+def test_bigram_pmi_topk_no_global_sort(spark):
+    """PMI top-k must be TakeOrderedAndProject over the vocabulary-
+    sized scored relation, never a full Sort+Exchange of it."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["text_bigram_pmi"].run(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
