@@ -1190,3 +1190,16 @@ def paragraph_dedup_rewrite(docs, w: int = PARA_W):
         .withColumn("n_chars", F.length("text"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+def paragraph_relation_spark(w: int = PARA_W) -> str:
+    """The (doc_id, pidx, h) paragraph relation dedup_paragraph and its
+    streaming twin share — one place for the segmentation."""
+    return f"""
+WITH t AS (SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS toks
+           FROM documents)
+SELECT doc_id, p AS pidx,
+       md5(cast(array_join(slice(toks, p + 1, {w}), ' ') AS binary)) AS h
+FROM t LATERAL VIEW explode(
+  sequence(0, greatest(size(toks) - 1, 0), {w})) AS p
+"""

@@ -291,3 +291,72 @@ def hits_duck(iterations: int = HITS_ITERATIONS) -> str:
 SELECT a.node_id, round(a.a, 9) AS auth, round(h.h, 9) AS hub
 FROM a{k} a JOIN h{k} h ON a.node_id = h.node_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Weakly-connected components of the strong link graph (site/mirror
+# clustering). A crawl frontier groups hosts into mirror/farm clusters
+# by strong link evidence before scheduling (Kumar et al. WWW'99
+# trawling; same operator family as operators/cluster.py's near-dup
+# components — this entry applies the identical min-label-propagation
+# machinery to the LINK graph instead of the dedup-pair graph).
+# "Strong" = edge weight (co-occurrence count) >= WCC_MIN_LINKS: the
+# unthresholded bipartite graph is one giant component (measured: 1
+# component at >=1..3, 73 components over 254 nodes at >=4 on sf0.01)
+# — thresholding is what makes the clustering informative, exactly as
+# in trawling. Spark shape: one co-partitionable join+agg per round,
+# lineage-truncated (cluster.connected_components); DuckDB oracle is
+# the recursive-CTE transitive closure over the same thresholded edge
+# SQL.
+# ---------------------------------------------------------------------------
+
+WCC_MIN_LINKS = 4
+
+_LINKS_STRONG = f"""
+SELECT l.l_suppkey AS s, o.o_custkey AS c
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 HAVING count(*) >= {WCC_MIN_LINKS}
+"""
+
+_EDGES_STRONG = f"""
+WITH links AS ({_LINKS_STRONG})
+SELECT s AS doc_a, c + {_CUST_OFFSET} AS doc_b FROM links
+"""
+
+
+def wcc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import cluster
+
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(
+            os.path.join(sf_dir, f"{t}.parquet")
+        ).createOrReplaceTempView(t)
+    edges = spark.sql(_EDGES_STRONG)
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select("doc_b"))
+        .distinct()
+    )
+    comps = cluster.connected_components(nodes, edges)
+    sizes = comps.groupBy("comp_id").agg(F.count("*").alias("comp_size"))
+    return (
+        comps.join(sizes, "comp_id")
+        .select(F.col("doc_id").alias("node_id"), "comp_id", "comp_size")
+    )
+
+
+def wcc_duck() -> str:
+    return f"""
+WITH RECURSIVE links AS ({_LINKS_STRONG}),
+edges AS (SELECT s AS src, c + {_CUST_OFFSET} AS dst FROM links
+          UNION SELECT c + {_CUST_OFFSET}, s FROM links),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+reach(root, v) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+comp AS (SELECT root AS node_id, min(v) AS comp_id FROM reach GROUP BY root),
+sizes AS (SELECT comp_id, count(*) AS comp_size FROM comp GROUP BY comp_id)
+SELECT c.node_id, c.comp_id, s.comp_size
+FROM comp c JOIN sizes s ON c.comp_id = s.comp_id
+"""

@@ -519,6 +519,12 @@ def _stream_rate_oracle() -> str:
     return politeness_rate_duck()
 
 
+def _stream_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import paragraph_dedup_stream_query
+
+    return paragraph_dedup_stream_query(spark, sf_dir)
+
+
 def _stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import quantile_hist_stream_query
 
@@ -547,6 +553,17 @@ _REL["stream_politeness_rate"] = Query(
     # the oracle computes the waterfall with one rank, no state machine
     fn=lambda spark, sf_dir: _stream_rate(spark, sf_dir),
     oracle=_stream_rate_oracle(),
+)
+
+_REL["stream_paragraph_dedup"] = Query(
+    # the CCNet paragraph pass as a REAL 3-batch incremental stream:
+    # stateful first-sighting per hash (16 nibble shards), batches are
+    # doc_id range terciles so stream order == the batch corpus-wide
+    # min-(doc_id, pidx) rule — the rolled-up per-doc output is
+    # EXACTLY q:dedup_paragraph's, so its DuckDB oracle applies
+    # verbatim
+    fn=lambda spark, sf_dir: _stream_paragraph(spark, sf_dir),
+    oracle=dedup.paragraph_dedup_duck(),
 )
 
 _REL["stream_quantile_hist"] = Query(
@@ -1147,6 +1164,15 @@ _TRAIN: dict[str, Query] = {
         fn=graph.hits_df,
         oracle=graph.hits_duck(),
     ),
+    "graph_wcc": Query(
+        # mirror/farm clustering of the STRONG link graph (trawling):
+        # the near-dup components machinery applied to link edges with
+        # weight >= 4 (unthresholded graph is one giant component —
+        # measured); iterative min-label propagation vs recursive-CTE
+        # closure oracle, per-component sizes joined on
+        fn=graph.wcc_df,
+        oracle=graph.wcc_duck(),
+    ),
     "dedup_paragraph": Query(
         # CCNet paragraph-level exact dedup (Wenzek 2020 §3.2): corpus-
         # wide first-occurrence keep rule over paragraph hashes — the
@@ -1352,6 +1378,7 @@ _FRONT_OF_WINDOW = [
     "events_range_join",
     "dedup_paragraph",
     "graph_hits",
+    "graph_wcc",
     "sketch_hll_union",
     "text_bigram_pmi",
     "text_length_hist",
@@ -1364,6 +1391,7 @@ _FRONT_OF_WINDOW = [
     "stream_url_seen_dedup",
     "stream_politeness_rate",
     "stream_quantile_hist",
+    "stream_paragraph_dedup",
     "sample_language_balanced",
     "sample_temperature",
     "sample_importance",

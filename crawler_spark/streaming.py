@@ -508,3 +508,131 @@ def quantile_hist_stream_query(spark, sf_dir: str) -> DataFrame:
     return spark.sql(
         sketch._qh_final("SELECT explode(array(500, 900, 990)) AS qp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph dedup (the CCNet pass as an incremental ingest)
+# ---------------------------------------------------------------------------
+
+PARA_OUT_SCHEMA = StructType(
+    [
+        StructField("h", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("pidx", LongType()),
+    ]
+)
+
+# per-shard state: the set of seen paragraph hashes (full 32-hex md5
+# strings — same exactness stance as the URL-seen state after ADVICE
+# r2; a few thousand strings per shard at sf scale, hash-partitioned
+# into 16 shards by the leading hex nibble so state grows per-shard,
+# not per-executor)
+PARA_STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+
+
+def _para_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
+    seen = set(state.get[0]) if state.exists else set()
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["h"], pdf["doc_id"], pdf["pidx"]))
+    out = []
+    # within a micro-batch the corpus-wide rule is (doc_id, pidx) order
+    for h, d, p in sorted(rows, key=lambda r: (r[1], r[2])):
+        if h not in seen:
+            seen.add(h)
+            out.append((h, d, p))
+    state.update((sorted(seen),))
+    yield pd.DataFrame(out, columns=["h", "doc_id", "pidx"])
+
+
+def paragraph_dedup_stateful(stream: DataFrame) -> DataFrame:
+    """First-occurrence-only paragraph stream: every distinct paragraph
+    hash is emitted exactly once across ALL micro-batches, carrying the
+    (doc_id, pidx) of its first sighting. The streaming expression of
+    q:dedup_paragraph's two stacked min-aggs — state is keyed by the
+    hash's leading nibble (16 shards), so the operator scales by
+    adding state partitions exactly like the URL-seen twin."""
+    return stream.groupBy("shard").applyInPandasWithState(
+        _para_update,
+        outputStructType=PARA_OUT_SCHEMA,
+        stateStructType=PARA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def paragraph_dedup_stream_query(spark, sf_dir: str) -> DataFrame:
+    """Run the stateful paragraph dedup as a REAL 3-micro-batch stream
+    and roll the emitted winners up to EXACTLY q:dedup_paragraph's
+    per-doc output — so the batch operator's DuckDB oracle applies
+    VERBATIM. Batches are doc_id range terciles: stream arrival order
+    equals doc_id order (the file source triggers d=0,1,2 by
+    modification time — the same FIFO premise the politeness rate
+    twin's closed-form oracle already relies on), which makes
+    streaming first-sighting identical to the batch corpus-wide
+    min-(doc_id, pidx) rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup
+
+    spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).createOrReplaceTempView("documents")
+    paras = spark.sql(dedup.paragraph_relation_spark()).selectExpr(
+        "substring(h, 1, 1) AS shard", "h", "doc_id", "pidx"
+    )
+    paras.localCheckpoint(eager=False).createOrReplaceTempView("para_rel")
+    max_id = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    t1, t2 = max_id // 3, (2 * max_id) // 3
+
+    work = tempfile.mkdtemp(prefix="stream-para-")
+    src = os.path.join(work, "src")
+    try:
+        paras.where(f"doc_id <= {t1}").coalesce(1).write.parquet(f"{src}/d=0")
+        paras.where(f"doc_id > {t1} AND doc_id <= {t2}").coalesce(
+            1
+        ).write.parquet(f"{src}/d=1")
+        paras.where(f"doc_id > {t2}").coalesce(1).write.parquet(f"{src}/d=2")
+        schema = spark.read.parquet(f"{src}/d=0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        q = (
+            paragraph_dedup_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_para_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            winners = spark.createDataFrame(
+                spark.sql(
+                    "SELECT h, doc_id, pidx FROM stream_para_out"
+                ).collect(),
+                schema="h string, doc_id long, pidx long",
+            )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    winners.createOrReplaceTempView("para_winners")
+    return spark.sql(
+        """
+SELECT p.doc_id,
+       count(*) AS n_paras,
+       count(w.h) AS kept_paras,
+       count(*) - count(w.h) AS dup_paras,
+       cast(floor(cast(count(w.h) AS double) * 10000 / count(*)) AS BIGINT)
+         AS kept_bp
+FROM para_rel p LEFT JOIN para_winners w
+  ON p.h = w.h AND p.doc_id = w.doc_id AND p.pidx = w.pidx
+GROUP BY p.doc_id
+"""
+    )
