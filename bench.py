@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "sketch_hll_union",
     "sample_temperature",
     "text_bigram_pmi",
+    "graph_wcc",
 ]
 
 

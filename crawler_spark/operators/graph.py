@@ -193,6 +193,8 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
     """HITS over directed (src, dst) edges, max-normalized per round.
     Returns (node_id, auth, hub) for every node with an out-edge (feed
     a symmetrized graph so that is every node)."""
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1 (auth is undefined at K=0)")
     edges = edges.select("src", "dst").persist()
     nodes = (
         edges.select(F.col("src").alias("node_id"))

@@ -584,7 +584,7 @@ def paragraph_dedup_stream_query(spark, sf_dir: str) -> DataFrame:
         "substring(h, 1, 1) AS shard", "h", "doc_id", "pidx"
     )
     paras.localCheckpoint(eager=False).createOrReplaceTempView("para_rel")
-    max_id = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    max_id = spark.table("documents").agg(F.max("doc_id")).first()[0] or 0
     t1, t2 = max_id // 3, (2 * max_id) // 3
 
     work = tempfile.mkdtemp(prefix="stream-para-")
