@@ -455,3 +455,16 @@ def test_bigram_pmi_topk_no_global_sort(spark):
 
     plan = _plan(all_queries()["text_bigram_pmi"].run(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_paragraph_dedup_no_window_operator(spark):
+    """dedup_paragraph's first-occurrence rule must compile to stacked
+    hash aggregations (map-side partials — boilerplate mega-groups
+    collapse before the shuffle), never a Window over the paragraph
+    hash (which would funnel each hash's occurrences through one
+    partition sort)."""
+    from crawler_spark.queries import all_queries
+
+    plan = _plan(all_queries()["dedup_paragraph"].run(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
