@@ -759,6 +759,35 @@ FROM p WHERE cos >= {threshold}
     return views, final
 
 
+def embedding_lsh_4bit_df(spark, sf_dir: str, threshold: float = 0.35):
+    """Guarded runner for the registered 4-bit embedding-LSH query —
+    the exact pattern of the m=1 SimHash banding guard above
+    (simhash_banded_df): 4-bit band keys put ~n/16 vectors per bucket,
+    so random-pair candidates grow ~n²/32 per band — measured at 311.9 s
+    for just 20k vectors (BENCH.md round 3, scripts/ops_scale.py).
+    Refuse past the knee instead of silently going quadratic; the
+    16-bit × 16-band ``dedup_embedding_lsh_hi`` twin is the scale path
+    (9.7 s at 20k, 29.8 s at 100k vectors, recall ≈ 0.96 at cos 0.95).
+    Override for deliberate small-corpus oracle runs via
+    CRAWLER_SPARK_EMB_LSH_4BIT_MAX."""
+    import os as _os
+
+    from .. import queries as _q  # late import: avoid cycle at module load
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    limit = int(_os.environ.get("CRAWLER_SPARK_EMB_LSH_4BIT_MAX", "10000"))
+    n_vecs = emb.count()
+    if n_vecs > limit:
+        raise ValueError(
+            f"dedup_embedding_lsh (4-bit band keys) hits its measured "
+            f"candidate blow-up above ~{limit} vectors (input: {n_vecs}; "
+            "311.9 s at 20k, BENCH.md r3). Use dedup_embedding_lsh_hi "
+            "(16-bit × 16 bands) or raise CRAWLER_SPARK_EMB_LSH_4BIT_MAX."
+        )
+    views, final = embedding_lsh_views_spark(threshold)
+    return _q._views_fn(views, final)(spark, sf_dir)
+
+
 # deterministic "re-ingest snapshot" augmentation for the _hi variant:
 # every 20th vector reappears with a new id and its first component
 # scaled 1.5x (cosine ~0.999 to its original) — the planted positives

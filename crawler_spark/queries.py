@@ -984,7 +984,13 @@ _TRAIN: dict[str, Query] = {
         oracle=dedup.embedding_pairs_duck(),
     ),
     "dedup_embedding_lsh": Query(
-        fn=_views_fn(*dedup.embedding_lsh_views_spark()),
+        # guarded runner (dedup.embedding_lsh_4bit_df): refuses > ~10k
+        # vectors — the 4-bit band keys' measured quadratic knee
+        # (311.9 s at 20k, BENCH.md r3); dedup_embedding_lsh_hi is the
+        # scale path. CRAWLER_SPARK_EMB_LSH_4BIT_MAX overrides.
+        fn=lambda spark, sf_dir: dedup.embedding_lsh_4bit_df(
+            spark, sf_dir
+        ),
         oracle=dedup.embedding_lsh_duck(),
     ),
     "dedup_embedding_lsh_hi": Query(
@@ -1366,64 +1372,60 @@ FROM documents
 # The round driver oracle-checks only the FIRST 50 registered
 # ``queries()`` entries (CORRECTNESS_r02 cut off exactly at position
 # 50), so registration order is a correctness-exposure budget, not a
-# style choice. Spend it on entries that have never earned a green
-# driver row (the 22 training ops registered after sitemap_extract in
-# round 2) and on this round's HUGEINT-typing fixes; the long-stable
-# veterans that were green in both prior rounds rotate to the back.
+# style choice. Round-4 rotation: every round-3 green rotates to the
+# back; the window is spent on the 44 §2-core / training veterans
+# whose last driver-green row is r02-vintage (the exact set the
+# pre-rotation window test enumerated against CORRECTNESS_r03.json),
+# plus any operators newly registered this round (never checked).
 # ``tests/test_queries_oracle.py::test_driver_window_covers_unverified``
 # keeps this self-enforcing against the latest CORRECTNESS file.
 _FRONT_OF_WINDOW = [
-    # round-3 additions + the 5 rows red in CORRECTNESS_r02 (HUGEINT
-    # representation, fixed this round — need fresh driver rows)
-    "events_range_join",
-    "dedup_paragraph",
-    "graph_hits",
-    "graph_wcc",
-    "sketch_hll_union",
-    "text_bigram_pmi",
-    "text_length_hist",
-    "text_word_entropy",
-    "sketch_quantile_hist",
-    "sample_weighted_priority",
-    "dedup_embedding_lsh_hi",
-    "ann_ivf_topk_256",
-    "dedup_containment",
-    "stream_url_seen_dedup",
-    "stream_politeness_rate",
-    "stream_quantile_hist",
-    "stream_paragraph_dedup",
-    "sample_language_balanced",
-    "sample_temperature",
-    "sample_importance",
-    "w2_sessionize_native",
-    "w2_sessionize",
-    "w3_hopping_window",
-    "events_anomaly",
-    "a6_rollup_revenue",
-    "crawl_recrawl_priority",
-    # never driver-checked (registered past the 50-entry window in r2)
-    "text_repetition",
-    "text_pii_stats",
-    "text_unigram_logprob",
-    "text_gopher_rules",
-    "source_stats",
-    "text_vocab_topk",
-    "sample_stratified",
-    "dedup_decontaminate",
-    "dedup_exact_substring",
-    "events_asof_join",
-    "graph_pagerank",
-    "text_pack_sequences",
-    "text_ccnet_buckets",
-    "sketch_hll_vocab",
-    "text_script_mix",
-    "graph_degree_dist",
-    "sketch_cms_heavy_hitters",
-    "text_tfidf_topk",
-    "mm_meta",
-    "mm_resize",
-    "mm_frame_sample",
-    "mm_decode_features",
+    # §2 relational core — driver rows are r02-vintage, renew in r04
+    "p4_nonempty_filter",
+    "p5_success_gate_json",
+    "p7_regex_validators",
+    "j1_fetch_join",
+    "j2_brand_lookup",
+    "j3_parent_lookup",
+    "j5_first_wins_decode",
+    "j6_variant_anti_join",
+    "j7_insert_if_absent",
+    "a1_group_counts",
+    "a2_ceil_div_pages",
+    "a4_first_wins_collect",
+    "o1_stale_first_topk",
+    "o2_first_match",
+    "o3_per_host_take_k",
+    "u1_union_distinct",
+    "u3_except_anti",
+    "f1_f5_hash_base64",
+    "f4_epoch_millis",
+    "f14_ceil_div",
+    "w1_window_agg",
+    "events_funnel",
+    "events_retention",
+    "events_value_quantiles",
+    "crawl_snapshot_diff",
+    "sitemap_extract",
+    # training-op veterans last green in r02
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_simhash",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "dedup_simhash_banded_m2",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivf_full_probe",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "dedup_components",
+    "text_boilerplate",
 ]
 
 

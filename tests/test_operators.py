@@ -697,9 +697,15 @@ def test_all_pairs_guards_refuse_large_corpora(spark, monkeypatch):
         spark, SF_DIR, max_hamming=6, m=2
     ).count() >= 0
 
+    monkeypatch.setenv("CRAWLER_SPARK_EMB_LSH_4BIT_MAX", "10")
+    with pytest.raises(ValueError, match="dedup_embedding_lsh_hi"):
+        dedup.embedding_lsh_4bit_df(spark, SF_DIR)
+
     # under the bounds the oracles still run
     monkeypatch.setenv("CRAWLER_SPARK_ALL_PAIRS_MAX", "1000000")
     assert dedup.simhash_pairs_df(spark, SF_DIR).count() >= 0
+    monkeypatch.setenv("CRAWLER_SPARK_EMB_LSH_4BIT_MAX", "1000000")
+    assert dedup.embedding_lsh_4bit_df(spark, SF_DIR).count() >= 0
 
 
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
