@@ -1092,17 +1092,23 @@ WITH toks AS (
 # ONE IEEE division of exact integers (w * 2^32 <= 2^53 stays exact,
 # division is correctly rounded -> bit-identical across engines; no
 # libm anywhere, unlike the classic exp(ln(u)/w) key). Weight here is
-# n_chars — the "sample long documents proportionally more" knob.
+# n_chars — the "sample long documents proportionally more" knob —
+# CAPPED at 2^21 - 1 in both engines: the exact-product bound w * 2^32
+# <= 2^53 only holds for w < 2^21 (ADVICE r3), so a ~2M+ char document
+# would silently break the bit-identical-division guarantee; least()
+# keeps the product exact at any document length (and a 2M-char cap on
+# a sampling weight is itself standard long-doc damping).
 # Plan shape: map-side projection -> global top-k, which Spark executes
 # as TakeOrderedAndProject (per-partition heap + k-row merge, never a
 # global sort). Tie-break (priority, doc_id) pins order.
 
 _PRI_K = 100
 _PRI_BUCKETS = 1 << 32
+_PRI_W_CAP = (1 << 21) - 1  # largest weight with w * 2^32 exact in f64
 
 SAMPLE_PRIORITY_SPARK = f"""
 WITH b AS (
-  SELECT doc_id, n_chars AS weight,
+  SELECT doc_id, least(n_chars, {_PRI_W_CAP}) AS weight,
          cast(conv(substring(md5(concat(cast(doc_id AS string), ':pri')),
                              1, 8), 16, 10) AS bigint) AS bucket
   FROM documents)
@@ -1115,7 +1121,7 @@ LIMIT {_PRI_K}
 
 SAMPLE_PRIORITY_DUCK = f"""
 WITH b AS (
-  SELECT doc_id, n_chars AS weight,
+  SELECT doc_id, least(n_chars, {_PRI_W_CAP}) AS weight,
          ('0x' || substring(md5(doc_id::VARCHAR || ':pri'), 1, 8))::BIGINT
            AS bucket
   FROM documents)

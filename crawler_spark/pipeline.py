@@ -76,12 +76,19 @@ def _input_fingerprint(docs: DataFrame) -> dict:
 
 
 def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
-    """Fence stage resume to the corpus it was computed on: ADVICE r2 —
-    re-running with the same out_dir but a different --docs input would
-    silently join stale committed survivor ids onto the new corpus.
+    """Fence stage resume to the corpus AND pipeline config it was
+    computed on. ADVICE r2: re-running with the same out_dir but a
+    different --docs input would silently join stale committed survivor
+    ids onto the new corpus. ADVICE r3: the fingerprint must also carry
+    the text-rewriting stage flags — resuming the same out_dir with
+    ``paragraph_dedup`` toggled would join near_dup_dedup/ccnet_gate
+    survivor ids (computed on rewritten text) onto un-rewritten docs,
+    or vice versa, resurrecting/altering text the full=True checkpoint
+    protects. (The DSIR gate needs no fingerprint entry: its stage name
+    carries the permille and nothing committed sits downstream of it.)
     First run records the fingerprint; a later run with a different
-    input refuses to resume instead of producing wrong-but-plausible
-    output."""
+    input or config refuses to resume instead of producing
+    wrong-but-plausible output."""
     if out_dir is None:
         return
     stages = os.path.join(out_dir, "stages")
@@ -92,9 +99,10 @@ def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
         if committed != fp:
             raise ValueError(
                 f"out_dir {out_dir!r} holds stage checkpoints for a "
-                f"different input corpus (committed {committed}, current "
-                f"{fp}); refusing to resume onto mismatched survivors — "
-                "rerun with --fresh (or a new --out) to recompute."
+                f"different input corpus or pipeline config (committed "
+                f"{committed}, current {fp}); refusing to resume onto "
+                "mismatched survivors — rerun with --fresh (or a new "
+                "--out) to recompute."
             )
         return
     os.makedirs(stages, exist_ok=True)
@@ -184,7 +192,11 @@ def run_training_pipeline(
     docs = _rebind(spark, documents)
     fp = _input_fingerprint(docs)
     counts["input"] = fp["n"]
-    _check_fingerprint(out_dir, fp)
+    # the paragraph stage REWRITES text feeding every later committed
+    # stage, so its flag is part of the checkpoint identity (ADVICE r3)
+    _check_fingerprint(
+        out_dir, {**fp, "paragraph_dedup": bool(paragraph_dedup)}
+    )
 
     # 1. Gopher document-shape quality gate (q:text_gopher_rules)
     loaded = _stage_load(spark, out_dir, "quality_gate")

@@ -20,7 +20,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import sitemap
+from . import sitemap, streaming_oracles
 from .operators import (
     asof,
     cluster,
@@ -513,12 +513,6 @@ def _stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_rate_query(spark, sf_dir)
 
 
-def _stream_rate_oracle() -> str:
-    from .streaming import politeness_rate_duck
-
-    return politeness_rate_duck()
-
-
 def _stream_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import paragraph_dedup_stream_query
 
@@ -538,11 +532,7 @@ _REL["stream_url_seen_dedup"] = Query(
     # the append output the DISTINCT url set however batches
     # interleave, so a plain SELECT DISTINCT is a value-exact oracle
     fn=lambda spark, sf_dir: _stream_url_seen(spark, sf_dir),
-    oracle="""
-SELECT DISTINCT source || '.test' AS host,
-       'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
-FROM documents
-""",
+    oracle=streaming_oracles.URL_SEEN_DEDUP_DUCK,
 )
 
 _REL["stream_politeness_rate"] = Query(
@@ -551,8 +541,10 @@ _REL["stream_politeness_rate"] = Query(
     # closed-form: sorted batches concatenate FIFO, so released rows =
     # first k*3 positions per host with trigger_seq = pos // k + 1 —
     # the oracle computes the waterfall with one rank, no state machine
+    # oracle text lives in streaming_oracles (pure SQL, no streaming
+    # deps) so registering it does not import the streaming runtime
     fn=lambda spark, sf_dir: _stream_rate(spark, sf_dir),
-    oracle=_stream_rate_oracle(),
+    oracle=streaming_oracles.politeness_rate_duck(),
 )
 
 _REL["stream_paragraph_dedup"] = Query(

@@ -228,7 +228,11 @@ RATE_STATE_SCHEMA = StructType(
     ]
 )
 
-_RATE_K = 2  # urls released per host per trigger (k = window/delay)
+from .streaming_oracles import (  # noqa: E402 — shared with the oracle
+    RATE_K as _RATE_K,
+    URL_SEEN_DEDUP_DUCK,
+    politeness_rate_duck,
+)
 
 
 def _rate_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
@@ -287,7 +291,14 @@ def url_seen_dedup_query(spark, sf_dir: str) -> DataFrame:
     known URLs). Exactly-once emission makes the output the DISTINCT
     url set however the micro-batches interleave, so the DuckDB oracle
     is a plain SELECT DISTINCT over the same derivation — value-exact,
-    order-free."""
+    order-free.
+
+    HARNESS ONLY: this registered wrapper materializes the memory-sink
+    output via a driver ``collect()`` for oracle comparison at sf
+    scale — pointed at a 10^10-URL corpus it would drive the full
+    distinct-URL set through the driver. The production entry point is
+    :func:`url_seen_dedup_stateful` itself (scale-safe: per-host state
+    partitions, append-mode sink of your choice)."""
     import os
     import shutil
     import tempfile
@@ -326,6 +337,7 @@ def url_seen_dedup_query(spark, sf_dir: str) -> DataFrame:
         try:
             q.processAllAvailable()
             # materialize OFF the memory table before the sink goes away
+            # (driver-side collect: oracle harness, not the deployment path)
             out = spark.createDataFrame(
                 spark.sql("SELECT host, url FROM stream_seen_out").collect(),
                 schema="host string, url string",
@@ -335,13 +347,6 @@ def url_seen_dedup_query(spark, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
-
-
-URL_SEEN_DEDUP_DUCK = """
-SELECT DISTINCT source || '.test' AS host,
-       'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url
-FROM documents
-"""
 
 
 def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
@@ -357,7 +362,18 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
     position // k + 1. The DuckDB oracle computes precisely that with
     one rank over (batch, url). File order is pinned by write order
     (FileStreamSource processes by modification time; the watermark
-    pytest already relies on this)."""
+    pytest already relies on this).
+
+    The closed form additionally PREMISES that every participating
+    trigger finds ≥ k urls available per host (cumulative queue ≥ k·t
+    at trigger t), so each trigger releases exactly k — asserted below
+    against the fixture before the stream runs, so a fixture or RATE_K
+    change fails loudly instead of as a parity mismatch (ADVICE r3).
+
+    HARNESS ONLY: the wrapper materializes the memory sink via a
+    driver ``collect()`` for oracle comparison; the production entry
+    is :func:`politeness_rate_limit_stateful` (scale-safe per-host
+    state)."""
     import os
     import shutil
     import tempfile
@@ -368,6 +384,35 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
         "concat('https://', source, '.test/doc/', cast(doc_id AS string))"
         " AS url",
         "doc_id",
+    )
+    # oracle-premise check: at each participating trigger t the host's
+    # cumulative queue must hold >= k*t urls (every trigger releases
+    # exactly k). Induction: backlog after trigger t-1 is cum_{t-1} -
+    # k*(t-1), so trigger t releases k iff cum_t >= k*t.
+    urls.createOrReplaceTempView("rate_premise_urls")
+    starved = spark.sql(
+        f"""
+WITH b AS (
+  SELECT host, batch, count(*) AS c FROM (
+    SELECT host, 0 AS batch FROM rate_premise_urls
+    UNION ALL
+    SELECT host, 1 FROM rate_premise_urls WHERE pmod(doc_id, 3) = 0
+    UNION ALL
+    SELECT host, 2 FROM rate_premise_urls WHERE pmod(doc_id, 5) = 0)
+  GROUP BY host, batch),
+cum AS (
+  SELECT host,
+         sum(c) OVER (PARTITION BY host ORDER BY batch) AS cum_urls,
+         row_number() OVER (PARTITION BY host ORDER BY batch) AS trig
+  FROM b)
+SELECT host, trig, cum_urls FROM cum WHERE cum_urls < {_RATE_K} * trig
+"""
+    ).collect()
+    assert not starved, (
+        f"politeness_rate_duck's closed-form oracle premise violated: "
+        f"hosts with < k*t urls at participating trigger t (k={_RATE_K}): "
+        f"{starved[:5]} — the fixture no longer floods each backlog; "
+        "recompute the oracle as a per-batch waterfall"
     )
     work = tempfile.mkdtemp(prefix="stream-rate-")
     src = os.path.join(work, "src")
@@ -395,6 +440,7 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            # driver-side collect: oracle harness, not the deployment path
             out = spark.createDataFrame(
                 spark.sql(
                     "SELECT host, url, trigger_seq FROM stream_rate_out"
@@ -408,34 +454,6 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def politeness_rate_duck(k: int = _RATE_K) -> str:
-    """The closed-form waterfall: per host, queue = urls ordered by
-    (batch, url) with every re-discovery occurrence its own element;
-    trigger = position // k + 1. A host is only invoked on triggers
-    whose micro-batch contains at least one of its urls (GroupState
-    without timeout never fires for absent keys), so the release
-    cutoff is k × (that host's participating batch count), not k × 3."""
-    return f"""
-WITH u AS (
-  SELECT source || '.test' AS host,
-         'https://' || source || '.test/doc/' || doc_id::VARCHAR AS url,
-         b.batch
-  FROM documents
-  CROSS JOIN (SELECT unnest([0, 1, 2]) AS batch) b
-  WHERE b.batch = 0
-     OR (b.batch = 1 AND doc_id % 3 = 0)
-     OR (b.batch = 2 AND doc_id % 5 = 0)),
-q AS (
-  SELECT host, url,
-         row_number() OVER (PARTITION BY host ORDER BY batch, url) - 1
-           AS pos,
-         count(DISTINCT batch) OVER (PARTITION BY host) AS n_trig
-  FROM u)
-SELECT host, url, cast(pos // {k} + 1 AS BIGINT) AS trigger_seq
-FROM q WHERE pos < {k} * n_trig
-"""
-
-
 def quantile_hist_stream_query(spark, sf_dir: str) -> DataFrame:
     """The histogram-quantile sketch accumulated INCREMENTALLY: bin
     counts are additive, so a complete-mode streaming aggregation over
@@ -446,7 +464,12 @@ def quantile_hist_stream_query(spark, sf_dir: str) -> DataFrame:
     (min/max/n of the static table) exactly like a production stream
     pins boundaries from history; the final quantile selection runs
     the same integer-threshold waterfall as the batch operator, so the
-    DuckDB oracle is LITERALLY sketch_quantile_hist's."""
+    DuckDB oracle is LITERALLY sketch_quantile_hist's.
+
+    HARNESS ONLY: the wrapper collects the ≤1024 final bin counts on
+    the driver for oracle comparison (bounded by construction, but the
+    registered form is the verification harness; a production stream
+    writes the complete-mode histogram to a real sink)."""
     import os
     import shutil
     import tempfile
@@ -488,6 +511,7 @@ def quantile_hist_stream_query(spark, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            # driver-side collect of <=1024 bins: oracle harness path
             bins = spark.createDataFrame(
                 spark.sql("SELECT bin, count AS c FROM stream_qh_bins")
                 .collect(),
@@ -565,7 +589,10 @@ def paragraph_dedup_stream_query(spark, sf_dir: str) -> DataFrame:
     """Run the stateful paragraph dedup as a REAL 3-micro-batch stream
     and roll the emitted winners up to EXACTLY q:dedup_paragraph's
     per-doc output — so the batch operator's DuckDB oracle applies
-    VERBATIM. Batches are doc_id range terciles: stream arrival order
+    VERBATIM. HARNESS ONLY: the wrapper materializes the memory sink
+    via a driver ``collect()`` for oracle comparison; the production
+    entry is :func:`paragraph_dedup_stateful` (16 nibble-shard state
+    groups, scale-safe). Batches are doc_id range terciles: stream arrival order
     equals doc_id order (the file source triggers d=0,1,2 by
     modification time — the same FIFO premise the politeness rate
     twin's closed-form oracle already relies on), which makes
@@ -611,6 +638,7 @@ def paragraph_dedup_stream_query(spark, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            # driver-side collect: oracle harness, not the deployment path
             winners = spark.createDataFrame(
                 spark.sql(
                     "SELECT h, doc_id, pidx FROM stream_para_out"

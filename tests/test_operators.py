@@ -572,6 +572,16 @@ def test_priority_sampling_weighted(spark):
     )
     sample_mean = sum(r.weight for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    # ADVICE r3: the bit-identical cross-engine claim rests on
+    # weight * 2^32 being an exact f64 integer — true iff w < 2^21,
+    # which the least(n_chars, cap) in both SQLs now enforces. Pin the
+    # boundary so a cap change re-derives the bound, and confirm no
+    # emitted weight exceeds it.
+    from crawler_spark.operators.textstats import _PRI_W_CAP
+
+    assert float(_PRI_W_CAP * (1 << 32)) == _PRI_W_CAP * (1 << 32)
+    assert _PRI_W_CAP * (1 << 32) <= 1 << 53
+    assert all(r.weight <= _PRI_W_CAP for r in rows)
 
 
 def test_containment_catches_what_jaccard_misses(spark):

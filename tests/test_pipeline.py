@@ -221,6 +221,39 @@ def test_pipeline_optional_dsir_gate(spark, tmp_path):
     assert counts_off["packed_docs"] == counts_off["ccnet_gate"]
 
 
+def test_pipeline_refuses_resume_with_toggled_paragraph_dedup(
+    spark, tmp_path
+):
+    """ADVICE r3: the resume fence covers pipeline config, not just
+    input identity — the paragraph stage rewrites the text that every
+    later committed stage's survivor ids were computed on, so resuming
+    the same out_dir with paragraph_dedup toggled (either direction)
+    must refuse instead of silently joining survivors across the
+    rewrite boundary."""
+    import pytest
+
+    from crawler_spark.pipeline import run_training_pipeline
+
+    out = str(tmp_path / "state")
+    run_training_pipeline(spark, _docs(spark).limit(120), out_dir=out)
+    with pytest.raises(ValueError, match="--fresh"):
+        run_training_pipeline(
+            spark, _docs(spark).limit(120), out_dir=out,
+            paragraph_dedup=True,
+        )
+
+    out2 = str(tmp_path / "state2")
+    run_training_pipeline(
+        spark, _docs(spark).limit(120), out_dir=out2, paragraph_dedup=True
+    )
+    with pytest.raises(ValueError, match="--fresh"):
+        run_training_pipeline(spark, _docs(spark).limit(120), out_dir=out2)
+    # same flag still resumes fine
+    run_training_pipeline(
+        spark, _docs(spark).limit(120), out_dir=out2, paragraph_dedup=True
+    )
+
+
 def test_pipeline_optional_paragraph_dedup_stage(spark, tmp_path):
     """paragraph_dedup=True inserts the CCNet paragraph pass between
     exact and near-dup dedup: text is REWRITTEN (chars can only
