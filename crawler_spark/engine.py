@@ -155,9 +155,16 @@ class CrawlEngine:
         config: EngineConfig | None = None,
         fresh: bool = False,
         robots_df: DataFrame | None = None,
+        priority_df: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or EngineConfig()
+        # optional (url, score) authority signal for frontier ordering —
+        # the graph operators (operators/graph.py pagerank()/hits())
+        # promoted to the scheduler (VERDICT r3 #5): per-host selection
+        # becomes score DESC with the default (path, url) discovery
+        # order as tie-break, so None reproduces the golden order
+        self.priority_df = priority_df
         self.store = StateStore(spark, state_dir, fresh=fresh)
         self._seed_rows: list[tuple[int, int]] | None = None
         # Corpus layout gate: a 100 TB table arrives as thousands of
@@ -282,6 +289,7 @@ class CrawlEngine:
             cfg.max_k,
             cfg.n_salts,
             cfg.default_crawl_delay_ms,
+            priority=self.priority_df,
         ).localCheckpoint(eager=True)
         ph: dict[str, float] = {}
 

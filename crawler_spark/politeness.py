@@ -18,7 +18,10 @@ phase 2's input is bounded by n_salts·k rows per host regardless of
 pending-count skew. Priority order is ``(path, url)`` — the lexicographic
 discovery path that encodes (seed staleness order, page index, row
 position, variant position), matching the reference's crawl order
-(ShiweijiaProduct.cs:50 seed order; SURVEY.md §7.3-2).
+(ShiweijiaProduct.cs:50 seed order; SURVEY.md §7.3-2). An optional
+``priority`` score table (PageRank/HITS over the link graph) prepends
+``score DESC`` to that order — authority-first frontier scheduling with
+discovery order as the deterministic tie-break.
 """
 
 from __future__ import annotations
@@ -58,23 +61,45 @@ def politeness_take(
     max_k: int,
     n_salts: int = 8,
     default_delay_ms: int = 3000,
+    priority: DataFrame | None = None,
 ) -> DataFrame:
     """Select this superstep's batch: per host the top-k pending URLs in
     (path, url) order, k from the robots crawl-delay budget. Output keeps
-    all frontier columns and adds ``host_rank`` (1-based, per host)."""
+    all frontier columns and adds ``host_rank`` (1-based, per host).
+
+    ``priority``: optional (url, score double) authority signal —
+    typically :func:`crawler_spark.operators.graph.pagerank` or
+    ``hits`` over the discovered link graph (Cho, Garcia-Molina & Page,
+    WWW7 1998: URL ordering by link authority). When given, per-host
+    selection orders by (score DESC, path, url); absent urls score 0,
+    so the default discovery order is the tie-break and ``None``
+    reproduces it exactly. The join is a plain equi-join on url (the
+    score table is node-sized, far under the frontier; Spark/AQE
+    broadcasts it when small) and both top-k phases see the same key,
+    so the salted-skew bound is unchanged."""
     f = with_budget(frontier, robots, budget_ms, max_k, default_delay_ms)
+    if priority is not None:
+        p = priority.select(
+            "url", F.col("score").cast("double").alias("_prio")
+        )
+        f = f.join(p, "url", "left").withColumn(
+            "_prio", F.coalesce(F.col("_prio"), F.lit(0.0))
+        )
+    else:
+        f = f.withColumn("_prio", F.lit(0.0))
+    order = [F.col("_prio").desc(), F.col("path"), F.col("url")]
     f = f.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy("path", "url")
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     cand = f.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("k")
     )
-    w2 = Window.partitionBy("host").orderBy("path", "url")
+    w2 = Window.partitionBy("host").orderBy(*order)
     return (
         cand.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= F.col("k"))
-        .drop("_salt", "_r1", "k")
+        .drop("_salt", "_r1", "k", "_prio")
     )
 
 

@@ -69,6 +69,14 @@ def main() -> None:
         default=False,
         help="wipe the state dir; omit to resume from its manifest",
     )
+    ap.add_argument(
+        "--priority",
+        default=None,
+        help="optional (url, score) parquet — link-authority frontier "
+        "ordering (PageRank/HITS from operators/graph.py over a prior "
+        "crawl's link graph); per-host selection becomes score DESC "
+        "with discovery order as tie-break",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -114,6 +122,9 @@ def main() -> None:
         robots_path=args.robots,
         state_dir=args.state,
         robots_df=robots_df,
+        priority_df=(
+            spark.read.parquet(args.priority) if args.priority else None
+        ),
         config=EngineConfig(
             budget_ms=args.budget_ms,
             max_k=args.max_k,

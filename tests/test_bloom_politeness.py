@@ -109,6 +109,122 @@ def test_politeness_exact_topk_under_skew(spark):
         ]
 
 
+def test_politeness_priority_scores_reorder_within_host(spark):
+    """VERDICT r3 #5: an optional (url, score) table — PageRank/HITS
+    over the link graph — reorders per-host selection to score DESC
+    with the (path, url) discovery order as tie-break; absent urls
+    score 0 and priority=None reproduces the default order exactly."""
+    from crawler_spark.politeness import politeness_take
+
+    rows = [
+        (f"https://h.net/p/{i:04d}", "h.net", f"{i:010d}") for i in range(20)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, path string"
+    )
+    robots = spark.createDataFrame(
+        [("h.net", 3000, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    # k = 9000/3000 = 3; boost two late-path urls above everything
+    pri = spark.createDataFrame(
+        [("https://h.net/p/0017", 2.0), ("https://h.net/p/0012", 5.0)],
+        "url string, score double",
+    )
+    batch = politeness_take(
+        frontier, robots, budget_ms=9_000, max_k=100, n_salts=4,
+        priority=pri,
+    )
+    got = [r.url for r in batch.orderBy("host_rank").collect()]
+    assert got == [
+        "https://h.net/p/0012",  # score 5
+        "https://h.net/p/0017",  # score 2
+        "https://h.net/p/0000",  # tie-break: discovery order
+    ]
+    # None keeps the golden order
+    base = politeness_take(
+        frontier, robots, budget_ms=9_000, max_k=100, n_salts=4
+    )
+    assert [r.url for r in base.orderBy("host_rank").collect()] == [
+        f"https://h.net/p/{i:04d}" for i in range(3)
+    ]
+
+
+def test_engine_priority_df_fetches_high_authority_url_earlier(
+    spark, smoke_dir, tmp_path
+):
+    """End-to-end frontier prioritization: under a constrained per-host
+    budget (k=2) the discovery order drains one category subtree before
+    touching the next category's page-1 listing, so a late category's
+    listing is not fetched within the first supersteps; boosting it
+    with a priority score (the PageRank/HITS promotion) pulls it into
+    superstep 2 — the first superstep where it is pending — while
+    superstep 1 (seeds) is untouched."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    host = "example0.com"  # 4 page-1 listings in the smoke corpus
+    # override fixture delays: the probed host gets k = 3000/1500 = 2,
+    # the rest drain at max_k so the run stays short
+    robots_df = spark.createDataFrame(
+        [
+            ("example0.com", 1500, ["/api/admin"]),
+            ("example1.co.uk", 0, ["/api/admin"]),
+            ("example2.com.cn", 0, ["/api/admin"]),
+            ("example3.net", 0, ["/api/admin"]),
+        ],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+
+    def crawl(state, priority_df, steps):
+        eng = CrawlEngine(
+            spark,
+            pages_path=f"{smoke_dir}/pages.parquet",
+            seeds_path=f"{smoke_dir}/seeds.parquet",
+            robots_path=f"{smoke_dir}/robots.parquet",
+            state_dir=str(tmp_path / state),
+            robots_df=robots_df,
+            priority_df=priority_df,
+            config=EngineConfig(budget_ms=3_000, max_k=1_000),
+            fresh=True,
+        )
+        eng.run(max_supersteps=steps)
+        return {
+            r.url: r.superstep
+            for r in eng.store.read("crawl_log")
+            .where(f"host = '{host}'")
+            .collect()
+        }
+
+    log_default = crawl("pri-base", None, 2)
+    # all 4 page-1 listings are pending at superstep 2 (discovered from
+    # the superstep-1 category fetch); k=2 fetches the two earliest in
+    # path order — pick a pending-but-unfetched one as the target
+    corpus_page1 = sorted(
+        r.url
+        for r in spark.read.parquet(f"{smoke_dir}/pages.parquet")
+        .where(
+            f"url LIKE 'https://shop0.{host}/%queryproductbypage%' "
+            "AND url LIKE '%page=1'"
+        )
+        .select("url")
+        .collect()
+    )
+    unfetched = [u for u in corpus_page1 if u not in log_default]
+    assert unfetched, (corpus_page1, log_default)
+    target = unfetched[-1]
+
+    pri = spark.createDataFrame([(target, 10.0)], "url string, score double")
+    log_pri = crawl("pri-boost", pri, 2)
+    assert log_pri[target] == 2, (
+        f"high-authority url not promoted: {target} fetched at "
+        f"superstep {log_pri.get(target)}"
+    )
+    # seeds (superstep 1) unaffected
+    assert {u for u, s in log_default.items() if s == 1} == {
+        u for u, s in log_pri.items() if s == 1
+    }
+
+
 def test_cuckoo_no_false_negatives_fpp_delete(spark):
     """Cuckoo URL-seen: zero false negatives, bounded fpp, delete
     support, distributed build agrees with driver-side adds."""
