@@ -44,9 +44,21 @@ MAX_ROUNDS = 50  # diameter backstop; propagation converges long before
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_ROUNDS,
+                         min_weight: int | None = None) -> DataFrame:
     """Min-label propagation. ``nodes``: (doc_id); ``edges``:
-    (doc_a, doc_b) undirected pairs. Returns (doc_id, comp_id)."""
+    (doc_a, doc_b) undirected pairs. Returns (doc_id, comp_id).
+
+    ``min_weight``: optional edge-strength threshold — edges must then
+    carry a ``weight`` column (e.g. link co-occurrence count) and only
+    pairs with weight >= min_weight participate. This is the graph_wcc
+    trawling rule (operators/graph.py): near-dup clustering (pairs are
+    already similarity-gated, no weight) and strong-link clustering
+    (threshold IS the operator) share this one entry point. The filter
+    is a map-side predicate before the symmetrize shuffle — plan shape
+    unchanged."""
+    if min_weight is not None:
+        edges = edges.filter(F.col("weight") >= min_weight)
     spark = nodes.sparkSession
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

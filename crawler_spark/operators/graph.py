@@ -314,15 +314,20 @@ FROM a{k} a JOIN h{k} h ON a.node_id = h.node_id"""
 
 WCC_MIN_LINKS = 4
 
+# weighted link relation (weight = co-occurrence count); thresholding
+# happens in the shared connected_components(min_weight=...) entry
+# point so near-dup and link clustering run the identical operator
 _LINKS_STRONG = f"""
 SELECT l.l_suppkey AS s, o.o_custkey AS c
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2 HAVING count(*) >= {WCC_MIN_LINKS}
 """
 
-_EDGES_STRONG = f"""
-WITH links AS ({_LINKS_STRONG})
-SELECT s AS doc_a, c + {_CUST_OFFSET} AS doc_b FROM links
+_EDGES_WEIGHTED = f"""
+SELECT l.l_suppkey AS doc_a, o.o_custkey + {_CUST_OFFSET} AS doc_b,
+       count(*) AS weight
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
 """
 
 
@@ -333,13 +338,17 @@ def wcc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(
             os.path.join(sf_dir, f"{t}.parquet")
         ).createOrReplaceTempView(t)
-    edges = spark.sql(_EDGES_STRONG)
+    edges = spark.sql(_EDGES_WEIGHTED).filter(
+        F.col("weight") >= WCC_MIN_LINKS
+    )
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select("doc_b"))
         .distinct()
     )
-    comps = cluster.connected_components(nodes, edges)
+    comps = cluster.connected_components(
+        nodes, spark.sql(_EDGES_WEIGHTED), min_weight=WCC_MIN_LINKS
+    )
     sizes = comps.groupBy("comp_id").agg(F.count("*").alias("comp_size"))
     return (
         comps.join(sizes, "comp_id")

@@ -36,10 +36,16 @@ sys.path.insert(0, REPO)
 
 # embedding-path ops probe the 100k-VECTOR regime (synthetic
 # embeddings.parquet generated next to the docs; the sf tables top out
-# at 2k vectors, far below where the LSH/IVF bucketing earns its keep)
+# at 2k vectors, far below where the LSH/IVF bucketing earns its keep —
+# exactly how the 4-bit LSH blow-up stayed hidden until the r3 probe).
+# ann_ivf_topk_256 is the build-once/probe-millions serving shape: its
+# build pass is n x 256 cosines, so its wall here is dominated by
+# codebook build, not probing — read it against ann_ivf_topk, not as a
+# regression (BENCH.md r3 framing).
 OPS_EMB = [
     "dedup_embedding_lsh_hi",
     "ann_ivf_topk",
+    "ann_ivf_topk_256",
 ]
 
 OPS = [

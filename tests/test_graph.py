@@ -110,3 +110,29 @@ def test_hits_iteration_plan_is_checkpoint_truncated(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 1
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_connected_components_min_weight_thresholds_edges(spark):
+    """VERDICT r3 #9: near-dup and strong-link clustering share one
+    entry point — connected_components(min_weight=K) drops edges below
+    weight K (the graph_wcc trawling rule) while the unweighted
+    near-dup call is unchanged."""
+    from crawler_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (4, 5, 4)],
+        "doc_a long, doc_b long, weight long",
+    )
+    # threshold 4: the weak 2-3 edge is dropped -> {1,2} {3} {4,5}
+    got = {
+        r.doc_id: r.comp_id
+        for r in connected_components(nodes, edges, min_weight=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+    # no threshold: weight column ignored -> {1,2,3} {4,5}
+    got_all = {
+        r.doc_id: r.comp_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got_all == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
