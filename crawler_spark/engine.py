@@ -191,6 +191,43 @@ class CrawlEngine:
             else spark.read.schema(schemas.ROBOTS).parquet(robots_path)
         )
         self.seeds_path = seeds_path
+        # Resume-exactness fence for the priority signal (same class as
+        # pipeline._check_fingerprint): the score table reorders every
+        # subsequent superstep's batch, so resuming a crawl under a
+        # DIFFERENT (or newly absent/present) table would silently
+        # produce a crawl order no uninterrupted run can produce.
+        # Cheap identity: row count + order-insensitive crc over
+        # (url, score). Manifests from before this key could only have
+        # run without a priority table (the knob is new) → None.
+        pfp = None
+        if priority_df is not None:
+            row = priority_df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.crc32(
+                        F.concat_ws(
+                            ":",
+                            F.col("url"),
+                            F.col("score").cast("double").cast("string"),
+                        )
+                    )
+                ).alias("crc"),
+            ).collect()[0]
+            pfp = {
+                "n": int(row["n"]),
+                "crc": None if row["crc"] is None else int(row["crc"]),
+            }
+        if self.store.manifest["frontier"] is not None:
+            committed_pfp = self.store.manifest.get("priority_fp")
+            if committed_pfp != pfp:
+                raise ValueError(
+                    f"state dir {state_dir!r} holds a crawl started with a "
+                    f"different frontier-priority table (committed "
+                    f"{committed_pfp}, current {pfp}); resuming would "
+                    "change the crawl order mid-run — pass the same "
+                    "--priority table, or --fresh to restart."
+                )
+        self.store.manifest["priority_fp"] = pfp
         if self.store.manifest["frontier"] is None:
             self._init_frontier()
         kind = self.store.manifest.get("seen_filter", self.cfg.seen_filter)

@@ -347,6 +347,29 @@ def guard_all_pairs(n_rows: int, name: str, scale_twin: str) -> None:
         )
 
 
+def guard_quadratic_knee(
+    n_rows: int,
+    limit_env: str,
+    default_limit: int,
+    name: str,
+    scale_twin: str,
+    detail: str,
+) -> None:
+    """Shared count-then-refuse guard for banded operators with a
+    MEASURED quadratic candidate regime (the m=1 SimHash and 4-bit
+    embedding-LSH knees): one implementation, per-operator env-var
+    override, pointer to the scale twin."""
+    import os as _os
+
+    limit = int(_os.environ.get(limit_env, str(default_limit)))
+    if n_rows > limit:
+        raise ValueError(
+            f"{name} hits its measured candidate blow-up above ~{limit} "
+            f"rows (input: {n_rows}; {detail}). Use {scale_twin} or "
+            f"raise {limit_env}."
+        )
+
+
 def simhash_pairs_df(spark, sf_dir: str, max_hamming: int = 8):
     """Guarded runner for the all-pairs SimHash oracle (see
     guard_all_pairs): counts the corpus before emitting the O(n²)
@@ -491,17 +514,14 @@ def simhash_banded_df(spark, sf_dir: str,
         # 100k docs that's ~10^8 candidate pairs (~144 s at local[32])
         # vs seconds for m=2's 16-bit buckets. Refuse past the knee
         # instead of silently going quadratic; m=2 is exact for d ≤ 6.
-        limit = int(
-            _os.environ.get("CRAWLER_SPARK_BANDED_M1_MAX", "50000")
+        guard_quadratic_knee(
+            docs.count(),
+            "CRAWLER_SPARK_BANDED_M1_MAX",
+            50_000,
+            "dedup_simhash_banded (m=1, 8-bit buckets)",
+            "dedup_simhash_banded_m2 (exact for hamming ≤ 6)",
+            "~144 s at 100k docs, ops_scale.py",
         )
-        n_docs = docs.count()
-        if n_docs > limit:
-            raise ValueError(
-                f"dedup_simhash_banded (m=1, 8-bit buckets) hits its "
-                f"measured candidate blow-up above ~{limit} docs (input: "
-                f"{n_docs}). Use dedup_simhash_banded_m2 (exact for "
-                "hamming ≤ 6) or raise CRAWLER_SPARK_BANDED_M1_MAX."
-            )
     docs.createOrReplaceTempView("documents")
     width = 64 // SIMHASH_CHUNKS
     fp = (
@@ -775,15 +795,14 @@ def embedding_lsh_4bit_df(spark, sf_dir: str, threshold: float = 0.35):
     from .. import queries as _q  # late import: avoid cycle at module load
 
     emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    limit = int(_os.environ.get("CRAWLER_SPARK_EMB_LSH_4BIT_MAX", "10000"))
-    n_vecs = emb.count()
-    if n_vecs > limit:
-        raise ValueError(
-            f"dedup_embedding_lsh (4-bit band keys) hits its measured "
-            f"candidate blow-up above ~{limit} vectors (input: {n_vecs}; "
-            "311.9 s at 20k, BENCH.md r3). Use dedup_embedding_lsh_hi "
-            "(16-bit × 16 bands) or raise CRAWLER_SPARK_EMB_LSH_4BIT_MAX."
-        )
+    guard_quadratic_knee(
+        emb.count(),
+        "CRAWLER_SPARK_EMB_LSH_4BIT_MAX",
+        10_000,
+        "dedup_embedding_lsh (4-bit band keys)",
+        "dedup_embedding_lsh_hi (16-bit × 16 bands)",
+        "311.9 s at 20k vectors, BENCH.md r3",
+    )
     views, final = embedding_lsh_views_spark(threshold)
     return _q._views_fn(views, final)(spark, sf_dir)
 

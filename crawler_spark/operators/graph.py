@@ -338,16 +338,20 @@ def wcc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(
             os.path.join(sf_dir, f"{t}.parquet")
         ).createOrReplaceTempView(t)
-    edges = spark.sql(_EDGES_WEIGHTED).filter(
-        F.col("weight") >= WCC_MIN_LINKS
-    )
+    # one weighted relation, evaluated once: the threshold is applied
+    # through the shared min_weight entry point and the node set is
+    # derived from the SAME checkpointed frame (a second spark.sql of
+    # the aggregation would re-run the lineitem⋈orders join and put
+    # the threshold rule in two places that could drift)
+    weighted = spark.sql(_EDGES_WEIGHTED).localCheckpoint(eager=False)
+    strong = weighted.filter(F.col("weight") >= WCC_MIN_LINKS)
     nodes = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .union(edges.select("doc_b"))
+        strong.select(F.col("doc_a").alias("doc_id"))
+        .union(strong.select("doc_b"))
         .distinct()
     )
     comps = cluster.connected_components(
-        nodes, spark.sql(_EDGES_WEIGHTED), min_weight=WCC_MIN_LINKS
+        nodes, weighted, min_weight=WCC_MIN_LINKS
     )
     sizes = comps.groupBy("comp_id").agg(F.count("*").alias("comp_size"))
     return (

@@ -96,6 +96,11 @@ def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             committed = json.load(f)
+        # migration: fingerprints committed before the config key
+        # existed could only have been produced by the default flags —
+        # treat a missing key as False rather than refusing resume on
+        # every pre-existing out_dir
+        committed.setdefault("paragraph_dedup", False)
         if committed != fp:
             raise ValueError(
                 f"out_dir {out_dir!r} holds stage checkpoints for a "

@@ -79,8 +79,12 @@ def politeness_take(
     so the salted-skew bound is unchanged."""
     f = with_budget(frontier, robots, budget_ms, max_k, default_delay_ms)
     if priority is not None:
-        p = priority.select(
-            "url", F.col("score").cast("double").alias("_prio")
+        # defensive per-url max: a duplicate url in the score table (a
+        # unioned pagerank+hits export, say) would otherwise multiply
+        # frontier rows through the left join — duplicate fetches and a
+        # broken per-host k budget. One agg over the node-sized table.
+        p = priority.groupBy("url").agg(
+            F.max(F.col("score").cast("double")).alias("_prio")
         )
         f = f.join(p, "url", "left").withColumn(
             "_prio", F.coalesce(F.col("_prio"), F.lit(0.0))

@@ -228,11 +228,7 @@ RATE_STATE_SCHEMA = StructType(
     ]
 )
 
-from .streaming_oracles import (  # noqa: E402 — shared with the oracle
-    RATE_K as _RATE_K,
-    URL_SEEN_DEDUP_DUCK,
-    politeness_rate_duck,
-)
+from .streaming_oracles import RATE_K as _RATE_K  # shared with the oracle
 
 
 def _rate_update(key, pdfs, state: GroupState):  # pragma: no cover - executor
@@ -385,45 +381,53 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
         " AS url",
         "doc_id",
     )
+    # The SAME per-batch frames feed both the premise check and the
+    # file writes (one derivation — a drifted copy of the %3/%5 rules
+    # would make the premise validate something the stream never ran).
+    batches = [
+        urls,
+        urls.where("pmod(doc_id, 3) = 0"),
+        urls.where("pmod(doc_id, 5) = 0"),
+    ]
     # oracle-premise check: at each participating trigger t the host's
     # cumulative queue must hold >= k*t urls (every trigger releases
     # exactly k). Induction: backlog after trigger t-1 is cum_{t-1} -
-    # k*(t-1), so trigger t releases k iff cum_t >= k*t.
-    urls.createOrReplaceTempView("rate_premise_urls")
+    # k*(t-1), so trigger t releases k iff cum_t >= k*t. A real raise,
+    # not a bare assert: this fence must survive python -O.
+    from functools import reduce
+
+    counts = reduce(
+        DataFrame.unionByName,
+        [
+            b.groupBy("host").agg(
+                F.count("*").alias("c")
+            ).withColumn("batch", F.lit(i))
+            for i, b in enumerate(batches)
+        ],
+    )
+    counts.createOrReplaceTempView("rate_premise_counts")
     starved = spark.sql(
         f"""
-WITH b AS (
-  SELECT host, batch, count(*) AS c FROM (
-    SELECT host, 0 AS batch FROM rate_premise_urls
-    UNION ALL
-    SELECT host, 1 FROM rate_premise_urls WHERE pmod(doc_id, 3) = 0
-    UNION ALL
-    SELECT host, 2 FROM rate_premise_urls WHERE pmod(doc_id, 5) = 0)
-  GROUP BY host, batch),
-cum AS (
+WITH cum AS (
   SELECT host,
          sum(c) OVER (PARTITION BY host ORDER BY batch) AS cum_urls,
          row_number() OVER (PARTITION BY host ORDER BY batch) AS trig
-  FROM b)
+  FROM rate_premise_counts)
 SELECT host, trig, cum_urls FROM cum WHERE cum_urls < {_RATE_K} * trig
 """
     ).collect()
-    assert not starved, (
-        f"politeness_rate_duck's closed-form oracle premise violated: "
-        f"hosts with < k*t urls at participating trigger t (k={_RATE_K}): "
-        f"{starved[:5]} — the fixture no longer floods each backlog; "
-        "recompute the oracle as a per-batch waterfall"
-    )
+    if starved:
+        raise AssertionError(
+            f"politeness_rate_duck's closed-form oracle premise violated: "
+            f"hosts with < k*t urls at participating trigger t "
+            f"(k={_RATE_K}): {starved[:5]} — the fixture no longer floods "
+            "each backlog; recompute the oracle as a per-batch waterfall"
+        )
     work = tempfile.mkdtemp(prefix="stream-rate-")
     src = os.path.join(work, "src")
     try:
-        urls.drop("doc_id").coalesce(1).write.parquet(f"{src}/d=0")
-        urls.where("pmod(doc_id, 3) = 0").drop("doc_id").coalesce(
-            1
-        ).write.parquet(f"{src}/d=1")
-        urls.where("pmod(doc_id, 5) = 0").drop("doc_id").coalesce(
-            1
-        ).write.parquet(f"{src}/d=2")
+        for i, b in enumerate(batches):
+            b.drop("doc_id").coalesce(1).write.parquet(f"{src}/d={i}")
         schema = spark.read.parquet(f"{src}/d=0").schema
         stream = (
             spark.readStream.schema(schema)

@@ -148,6 +148,25 @@ def test_politeness_priority_scores_reorder_within_host(spark):
     assert [r.url for r in base.orderBy("host_rank").collect()] == [
         f"https://h.net/p/{i:04d}" for i in range(3)
     ]
+    # a score table with DUPLICATE urls (e.g. a unioned pagerank+hits
+    # export) must not multiply frontier rows through the join — the
+    # per-url max wins and the budget still selects 3 DISTINCT urls
+    dup = spark.createDataFrame(
+        [("https://h.net/p/0012", 5.0), ("https://h.net/p/0012", 1.0)],
+        "url string, score double",
+    )
+    got_dup = [
+        r.url
+        for r in politeness_take(
+            frontier, robots, budget_ms=9_000, max_k=100, n_salts=4,
+            priority=dup,
+        ).orderBy("host_rank").collect()
+    ]
+    assert got_dup == [
+        "https://h.net/p/0012",
+        "https://h.net/p/0000",
+        "https://h.net/p/0001",
+    ]
 
 
 def test_engine_priority_df_fetches_high_authority_url_earlier(
@@ -223,6 +242,38 @@ def test_engine_priority_df_fetches_high_authority_url_earlier(
     assert {u for u, s in log_default.items() if s == 1} == {
         u for u, s in log_pri.items() if s == 1
     }
+
+    # resume-exactness fence: the priority table is part of the state
+    # identity (like pipeline._check_fingerprint) — resuming the
+    # boosted crawl WITHOUT the table (or with different scores) must
+    # refuse instead of silently changing the crawl order mid-run
+    import pytest
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    def resume(priority_df):
+        return CrawlEngine(
+            spark,
+            pages_path=f"{smoke_dir}/pages.parquet",
+            seeds_path=f"{smoke_dir}/seeds.parquet",
+            robots_path=f"{smoke_dir}/robots.parquet",
+            state_dir=str(tmp_path / "pri-boost"),
+            robots_df=robots_df,
+            priority_df=priority_df,
+            config=EngineConfig(budget_ms=3_000, max_k=1_000),
+            fresh=False,
+        )
+
+    with pytest.raises(ValueError, match="--fresh"):
+        resume(None)
+    with pytest.raises(ValueError, match="--fresh"):
+        resume(
+            spark.createDataFrame(
+                [(target, 99.0)], "url string, score double"
+            )
+        )
+    # same table resumes fine
+    resume(pri)
 
 
 def test_cuckoo_no_false_negatives_fpp_delete(spark):
