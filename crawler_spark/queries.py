@@ -352,6 +352,77 @@ WHERE rk <= 3
 """,
 )
 
+def _priority_take_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL politeness_take operator (crawler_spark/politeness.py
+    — salted two-phase top-k) with a link-authority priority table, on a
+    frontier derived deterministically from orders: 20 hosts, k = 3
+    (budget 9000 ms / delay 3000 ms), every 7th order carries a score.
+    The oracle expresses the same semantics as one rank over
+    (score DESC, path, url) — checking that the salted two-phase
+    selection with the priority join equals the naive global ranking."""
+    from pyspark.sql import functions as F
+
+    from .politeness import politeness_take
+
+    load_views(spark, sf_dir)
+    frontier = spark.sql(
+        """
+SELECT concat('h', pmod(o_custkey, 20), '.test') AS host,
+       concat('https://h', pmod(o_custkey, 20), '.test/o/', o_orderkey)
+         AS url,
+       lpad(cast(o_orderkey AS string), 10, '0') AS path
+FROM orders
+"""
+    )
+    robots = spark.sql(
+        """
+SELECT DISTINCT concat('h', pmod(o_custkey, 20), '.test') AS host,
+       cast(3000 AS bigint) AS crawl_delay_ms
+FROM orders
+"""
+    )
+    pri = spark.sql(
+        """
+SELECT concat('https://h', pmod(o_custkey, 20), '.test/o/', o_orderkey)
+         AS url,
+       cast(pmod(o_orderkey, 1000) AS double) AS score
+FROM orders WHERE pmod(o_orderkey, 7) = 0
+"""
+    )
+    out = politeness_take(
+        frontier, robots, budget_ms=9_000, max_k=100, n_salts=4,
+        priority=pri,
+    )
+    return out.select(
+        "host", "url", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
+_REL["o4_priority_take"] = Query(
+    # round-4 scheduler feature (VERDICT r3 #5): per-host take-k under a
+    # PageRank/HITS-style (url, score) table — score DESC first, then
+    # the (path, url) discovery order; absent urls score 0
+    fn=_priority_take_fn,
+    oracle="""
+WITH f AS (
+  SELECT 'h' || (o_custkey % 20) || '.test' AS host,
+         'https://h' || (o_custkey % 20) || '.test/o/' || o_orderkey AS url,
+         lpad(o_orderkey::VARCHAR, 10, '0') AS path
+  FROM orders),
+p AS (
+  SELECT 'https://h' || (o_custkey % 20) || '.test/o/' || o_orderkey AS url,
+         (o_orderkey % 1000)::DOUBLE AS score
+  FROM orders WHERE o_orderkey % 7 = 0),
+r AS (
+  SELECT f.host, f.url,
+         row_number() OVER (PARTITION BY f.host
+           ORDER BY coalesce(p.score, 0.0) DESC, f.path, f.url) AS host_rank
+  FROM f LEFT JOIN p ON f.url = p.url)
+SELECT host, url, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= 3
+""",
+)
+
 # ---------------------------------------------------------------------------
 # §2.7 set ops
 # ---------------------------------------------------------------------------
@@ -1372,6 +1443,8 @@ FROM documents
 # ``tests/test_queries_oracle.py::test_driver_window_covers_unverified``
 # keeps this self-enforcing against the latest CORRECTNESS file.
 _FRONT_OF_WINDOW = [
+    # NEW in round 4 (never driver-checked): the priority scheduler
+    "o4_priority_take",
     # §2 relational core — driver rows are r02-vintage, renew in r04
     "p4_nonempty_filter",
     "p5_success_gate_json",
