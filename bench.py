@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "j3_parent_lookup",
     "a1_group_counts",
     "o2_first_match",
+    "o4_priority_take",
     "u1_union_distinct",
     "w1_window_agg",
     "dedup_exact",
