@@ -83,6 +83,14 @@ class EngineConfig:
     adaptive_budget: bool = False
     adaptive_min_batch: int = 5_000
     adaptive_max_mult: int = 64
+    # persist every discovered (src_url, dst_url, kind) edge to the
+    # 'links' state table (pre-first-wins-dedup — authority wants every
+    # parent). Feeds scripts/run_crawl.py --compute-priority →
+    # operators/graph.pagerank()/hits() → the (url, score) table the
+    # --priority knob consumes: the Cho/Garcia-Molina/Page crawl →
+    # rank → recrawl loop, closed on the engine's own graph. Off by
+    # default: one extra delta write per superstep.
+    record_links: bool = False
     # small per-superstep deltas are coalesced before write (file-count
     # and task-overhead control; Iceberg compaction analog)
     delta_write_partitions: int = 8
@@ -196,26 +204,29 @@ class CrawlEngine:
         # subsequent superstep's batch, so resuming a crawl under a
         # DIFFERENT (or newly absent/present) table would silently
         # produce a crawl order no uninterrupted run can produce.
-        # Cheap identity: row count + order-insensitive crc over
-        # (url, score). Manifests from before this key could only have
-        # run without a priority table (the knob is new) → None.
+        # Cheap identity: row count + two order-insensitive combines of
+        # xxhash64(url, score-as-double) — a 64-bit hash of the BINARY
+        # double value, not a string rendering (ADVICE r4: summed
+        # 32-bit crc32s over formatter-dependent text is both weak and
+        # tied to Spark's double formatter). xor catches any odd-count
+        # row edit; the wrap-safe 31-bit sum catches the pairwise
+        # duplicate add/remove xor is blind to. Manifests from before
+        # this key could only have run without a priority table (the
+        # knob is new) → None.
         pfp = None
         if priority_df is not None:
+            h = F.xxhash64(F.col("url"), F.col("score").cast("double"))
             row = priority_df.agg(
                 F.count("*").alias("n"),
-                F.sum(
-                    F.crc32(
-                        F.concat_ws(
-                            ":",
-                            F.col("url"),
-                            F.col("score").cast("double").cast("string"),
-                        )
-                    )
-                ).alias("crc"),
+                F.expr(
+                    "bit_xor(xxhash64(url, cast(score as double)))"
+                ).alias("hx"),
+                F.sum(F.pmod(h, F.lit(2**31))).alias("hs"),
             ).collect()[0]
             pfp = {
                 "n": int(row["n"]),
-                "crc": None if row["crc"] is None else int(row["crc"]),
+                "hx": None if row["hx"] is None else int(row["hx"]),
+                "hs": None if row["hs"] is None else int(row["hs"]),
             }
         if self.store.manifest["frontier"] is not None:
             committed_pfp = self.store.manifest.get("priority_fp")
@@ -308,6 +319,7 @@ class CrawlEngine:
         s = store.manifest["superstep"] + 1
         t0 = time.monotonic()
         self._superstep_persists: list[DataFrame] = []
+        self._links_delta: DataFrame | None = None
 
         frontier = store.read_frontier().persist(StorageLevel.MEMORY_AND_DISK)
         budget_ms = cfg.budget_ms * self._budget_mult
@@ -615,6 +627,14 @@ class CrawlEngine:
 
             tail.append(t_errors)
 
+        if self._links_delta is not None:
+
+            def t_links() -> None:
+                self._jd(f"s{s}:links_write")
+                store.write_delta("links", self._links_delta, s)
+
+            tail.append(t_links)
+
         def t_checkpoint() -> None:
             # ---- per-partition lineage counters (north rule) ----
             self._jd(f"s{s}:checkpoint_write")
@@ -775,6 +795,7 @@ class CrawlEngine:
                     F.format_string("%010d", F.col("_vpos0") + 1),
                 ),
             )
+            .withColumn("kind", F.lit("variant"))
         )
         successors.append(succ)
         error_frames.append(
@@ -901,6 +922,7 @@ class CrawlEngine:
                     "url", F.expr(_LISTING_URL.format(cat="_cat", page="1"))
                 )
                 .withColumn("path", _path3(F.col("sidx"), F.lit(1), F.lit(0)))
+                .withColumn("kind", F.lit("listing"))
             )
             successors.append(succ_cat)
 
@@ -935,6 +957,7 @@ class CrawlEngine:
                         F.col("sidx"), F.col("page_index"), F.col("_pos0") + 1
                     ),
                 )
+                .withColumn("kind", F.lit("detail"))
             )
             successors.append(succ_detail)
             # next-page successor while page_index < ceil(total/50)
@@ -951,6 +974,7 @@ class CrawlEngine:
                     "path",
                     _path3(F.col("sidx"), F.col("page_index") + 1, F.lit(0)),
                 )
+                .withColumn("kind", F.lit("listing_next"))
             )
             successors.append(succ_page)
 
@@ -1041,15 +1065,11 @@ class CrawlEngine:
             return None
         cfg = self.cfg
         self._jd(f"s{s}:succ_dedup")
-        succ = successors[0].select(
-            "url", "host", "path", "parent_url", "root_seed", "depth"
-        )
+        _cols = ("url", "host", "path", "parent_url", "root_seed", "depth",
+                 "kind")
+        succ = successors[0].select(*_cols)
         for sdf in successors[1:]:
-            succ = succ.unionByName(
-                sdf.select(
-                    "url", "host", "path", "parent_url", "root_seed", "depth"
-                )
-            )
+            succ = succ.unionByName(sdf.select(*_cols))
         # Task-count discipline: the union inherits one partition per
         # parent partition per frame (3 frames × every corpus-scan
         # split), but each partition holds only KBs of successor URLs.
@@ -1067,6 +1087,19 @@ class CrawlEngine:
             # UDF predecessor among the largest non-extract stages)
             succ = succ.withColumn("url", canonicalize_expr(F.col("url"))).filter(
                 F.col("url").isNotNull()
+            )
+        if cfg.record_links:
+            # every discovered edge, canonical dst, BEFORE the
+            # first-wins dedup below collapses multi-parent urls to one
+            # row (authority scoring wants all in-links). Lazy separate
+            # checkpoint: the write (run_superstep tail) re-runs only
+            # the KB-scale union/canonicalize over the already-
+            # checkpointed parse frames.
+            self._links_delta = succ.select(
+                F.col("parent_url").alias("src_url"),
+                F.col("url").alias("dst_url"),
+                "kind",
+                F.lit(s).cast("long").alias("superstep"),
             )
         # first-wins on priority path per url (oracle: sorted-(path,url)
         # insertion; min(struct) = lexicographic min on path)

@@ -790,13 +790,11 @@ def embedding_lsh_4bit_df(spark, sf_dir: str, threshold: float = 0.35):
     (9.7 s at 20k, 29.8 s at 100k vectors, recall ≈ 0.96 at cos 0.95).
     Override for deliberate small-corpus oracle runs via
     CRAWLER_SPARK_EMB_LSH_4BIT_MAX."""
-    import os as _os
+    from ..views import load_views, views_fn
 
-    from .. import queries as _q  # late import: avoid cycle at module load
-
-    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    load_views(spark, sf_dir)
     guard_quadratic_knee(
-        emb.count(),
+        spark.table("embeddings").count(),
         "CRAWLER_SPARK_EMB_LSH_4BIT_MAX",
         10_000,
         "dedup_embedding_lsh (4-bit band keys)",
@@ -804,7 +802,7 @@ def embedding_lsh_4bit_df(spark, sf_dir: str, threshold: float = 0.35):
         "311.9 s at 20k vectors, BENCH.md r3",
     )
     views, final = embedding_lsh_views_spark(threshold)
-    return _q._views_fn(views, final)(spark, sf_dir)
+    return views_fn(views, final)(spark, sf_dir)
 
 
 # deterministic "re-ingest snapshot" augmentation for the _hi variant:

@@ -97,10 +97,19 @@ def _check_fingerprint(out_dir: str | None, fp: dict) -> None:
         with open(path, encoding="utf-8") as f:
             committed = json.load(f)
         # migration: fingerprints committed before the config key
-        # existed could only have been produced by the default flags —
-        # treat a missing key as False rather than refusing resume on
-        # every pre-existing out_dir
-        committed.setdefault("paragraph_dedup", False)
+        # existed carry no record of the flag, but the out_dir itself
+        # does — a committed stages/paragraph_dedup checkpoint exists
+        # iff the old run ran the stage (ADVICE r4: defaulting to False
+        # would let a legacy paragraph_dedup=True out_dir silently pass
+        # the fence when resumed with False, joining survivor ids
+        # computed on rewritten text onto un-rewritten docs — the exact
+        # hazard this fence exists to close). If the old run was killed
+        # before the stage committed, nothing downstream of the rewrite
+        # is committed either, so inferring False is safe there.
+        if "paragraph_dedup" not in committed:
+            committed["paragraph_dedup"] = os.path.isdir(
+                os.path.join(stages, "paragraph_dedup")
+            )
         if committed != fp:
             raise ValueError(
                 f"out_dir {out_dir!r} holds stage checkpoints for a "

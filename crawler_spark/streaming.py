@@ -392,8 +392,13 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
     # oracle-premise check: at each participating trigger t the host's
     # cumulative queue must hold >= k*t urls (every trigger releases
     # exactly k). Induction: backlog after trigger t-1 is cum_{t-1} -
-    # k*(t-1), so trigger t releases k iff cum_t >= k*t. A real raise,
-    # not a bare assert: this fence must survive python -O.
+    # k*(t-1), so trigger t releases k iff cum_t >= k*t. The FINAL
+    # participating trigger is exempt (ADVICE r4): when only it is
+    # short, both the operator and the closed-form oracle release
+    # min(k, backlog) there — the oracle's pos < k*n_trig cutoff
+    # truncates identically — so parity holds and aborting would be a
+    # false alarm. A real raise, not a bare assert: this fence must
+    # survive python -O.
     from functools import reduce
 
     counts = reduce(
@@ -411,9 +416,11 @@ def politeness_rate_query(spark, sf_dir: str) -> DataFrame:
 WITH cum AS (
   SELECT host,
          sum(c) OVER (PARTITION BY host ORDER BY batch) AS cum_urls,
-         row_number() OVER (PARTITION BY host ORDER BY batch) AS trig
+         row_number() OVER (PARTITION BY host ORDER BY batch) AS trig,
+         count(*) OVER (PARTITION BY host) AS n_trig
   FROM rate_premise_counts)
-SELECT host, trig, cum_urls FROM cum WHERE cum_urls < {_RATE_K} * trig
+SELECT host, trig, cum_urls FROM cum
+WHERE cum_urls < {_RATE_K} * trig AND trig < n_trig
 """
     ).collect()
     if starved:

@@ -166,8 +166,9 @@ def test_driver_window_covers_unverified():
         missed = [k for k in needing_exposure if k not in window]
         assert not missed, (
             f"unverified entries outside the driver's 50-row check "
-            f"window: {missed} — reorder _FRONT_OF_WINDOW in "
-            "crawler_spark/queries.py"
+            f"window: {missed} — the computed stalest-green-first "
+            "ordering in crawler_spark/queries.py:all_queries() is "
+            "broken"
         )
     else:
         # Backlog exceeds one window: schedule a two-round rotation.
@@ -176,8 +177,9 @@ def test_driver_window_covers_unverified():
         assert not missed2, (
             f"entries with no green driver row in the last TWO reports "
             f"outside the window: {missed2} — these must be checked "
-            "this round (two-round rotation invariant); reorder "
-            "_FRONT_OF_WINDOW in crawler_spark/queries.py"
+            "this round (two-round rotation invariant); the computed "
+            "ordering in crawler_spark/queries.py:all_queries() is "
+            "broken"
         )
         wasted = [k for k in ordered[1:50] if k not in needing_exposure]
         assert not wasted, (
