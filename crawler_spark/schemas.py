@@ -75,6 +75,21 @@ URL_SEEN = T.StructType(
     ]
 )
 
+# discovered page→page edge list (round 5: closes the crawl → rank →
+# recrawl loop — Cho, Garcia-Molina & Page, WWW7 1998: the engine's own
+# link graph feeds operators/graph.pagerank()/hits(), whose (url, score)
+# output politeness_take(priority=...) consumes). One row per discovered
+# edge per superstep, pre-first-wins-dedup (authority needs ALL parents
+# of a url, not the lexicographically first); dedup happens at rank time.
+LINKS = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("dst_url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("superstep", T.LongType(), False),
+    ]
+)
+
 CRAWL_LOG = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

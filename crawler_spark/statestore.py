@@ -48,6 +48,7 @@ TABLES = {
     "img_cache": schemas.IMG_CACHE,
     "errors": schemas.ERRORS,
     "checkpoints": schemas.CHECKPOINTS,
+    "links": schemas.LINKS,  # discovered edges (EngineConfig.record_links)
 }
 
 
@@ -76,7 +77,12 @@ class StateStore:
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
+                m = json.load(f)
+            # migration: manifests written before a table existed (e.g.
+            # pre-r5 "links") simply have no deltas for it yet
+            for t in TABLES:
+                m["tables"].setdefault(t, [])
+            return m
         return {
             "superstep": 0,
             "commit_seq": 0,

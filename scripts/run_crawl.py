@@ -24,7 +24,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True)
+    ap.add_argument("--pages", default=None)
     ap.add_argument(
         "--pages-warc",
         action="store_true",
@@ -33,10 +33,10 @@ def main() -> None:
         "(Common-Crawl layout); ingested once to <state>/pages-ingest "
         "parquet (crawler_spark.warc), then crawled from there",
     )
-    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--seeds", default=None)
     ap.add_argument(
         "--robots",
-        required=True,
+        default=None,
         help="politeness table parquet (host, crawl_delay_ms, "
         "disallow_prefixes), or with --robots-raw a parquet of raw "
         "bodies (host, robots_txt) parsed in-engine",
@@ -77,6 +77,25 @@ def main() -> None:
         "crawl's link graph); per-host selection becomes score DESC "
         "with discovery order as tie-break",
     )
+    ap.add_argument(
+        "--record-links",
+        action="store_true",
+        default=False,
+        help="persist every discovered (src_url, dst_url, kind) edge "
+        "to the 'links' state table — the input --compute-priority "
+        "ranks (one extra small delta write per superstep)",
+    )
+    ap.add_argument(
+        "--compute-priority",
+        choices=("pagerank", "hits"),
+        default=None,
+        help="instead of crawling: rank the link graph recorded in "
+        "--state (a prior --record-links crawl) and write the "
+        "(url, score) parquet --priority consumes to --priority-out. "
+        "Closes the crawl → rank → recrawl loop on the engine's own "
+        "graph (Cho/Garcia-Molina/Page ordering).",
+    )
+    ap.add_argument("--priority-out", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -91,6 +110,26 @@ def main() -> None:
         ).getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.compute_priority:
+        from crawler_spark.authority import compute_priority_scores
+
+        if not args.priority_out:
+            ap.error("--compute-priority requires --priority-out")
+        scores = compute_priority_scores(
+            spark, args.state, method=args.compute_priority
+        )
+        scores.write.mode("overwrite").parquet(args.priority_out)
+        n = spark.read.parquet(args.priority_out).count()
+        print(json.dumps({
+            "priority_out": args.priority_out,
+            "method": args.compute_priority,
+            "urls_scored": n,
+        }))
+        return
+    for req in ("pages", "seeds", "robots"):
+        if getattr(args, req) is None:
+            ap.error(f"--{req} is required when crawling")
 
     pages_path = args.pages
     if args.pages_warc:
@@ -132,6 +171,7 @@ def main() -> None:
             stop_when_frontier_below=args.stop_frontier_below,
             adaptive_budget=args.adaptive_budget,
             adaptive_min_batch=args.adaptive_min_batch,
+            record_links=args.record_links,
         ),
         fresh=args.fresh,
     )
