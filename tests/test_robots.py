@@ -234,3 +234,107 @@ def test_sitemap_lines_collected(parsed):
         "https://a.test/sitemap.xml"
     ]
     assert parsed["b.test"]["sitemap_urls"] == []
+
+
+def _ref_rule_match(path: str, rule: str) -> bool:
+    """Independent pure-Python RFC 9309 §2.2.3 matcher (test oracle —
+    urllib.robotparser does NOT implement wildcards, so the cross-check
+    is against this from-the-RFC reimplementation + the RFC/Google
+    documentation examples below)."""
+    import re
+
+    end = rule.endswith("$")
+    body = rule[:-1] if end else rule
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    if end:
+        rx += "$"
+    return re.search(rx, path) is not None
+
+
+def _ref_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
+    d = max((len(r) for r in disallow if _ref_rule_match(path, r)), default=None)
+    a = max((len(r) for r in allow if _ref_rule_match(path, r)), default=None)
+    if d is None:
+        return True
+    return a is not None and a >= d
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.3 ``*`` / trailing-``$`` patterns (round 5):
+    documentation examples (Google robots.txt spec 'URL matching based
+    on path values' table — public reference implementation semantics)
+    plus overlapping allow/disallow pairs, cross-checked against an
+    independent pure-Python matcher on every (rule-set, path) cell."""
+    disallow = ["/*.php$", "/private*/", "/fish*", "/a$b", "/*/tail"]
+    allow = ["/private*/data/", "/fish", "/public*.php$"]
+    probes = [
+        "/a.php",            # $-anchored match -> block
+        "/a.php5",           # $ prevents match -> allow
+        "/x/deep/a.php",     # * spans '/'
+        "/private1/x",       # /private*/ with infix wildcard
+        "/private/x",        # zero-width * match
+        "/private1/data/z",  # longer allow overrides
+        "/fish",             # disallow /fish* (6) beats allow /fish (5)
+        "/fishheads/x.php",  # both wildcard rules fire
+        "/a$b",              # mid-pattern $ is a literal octet
+        "/a!b",              # ...and does not become 'any char'
+        "/one/tail",         # leading-*-segment rule
+        "/one/tail/more",    # prefix semantics after * rule
+        "/public_x.php",     # allow (14) vs disallow /*.php$ (7)
+        "/",                 # no rule matches
+    ]
+    robots = spark.createDataFrame(
+        [("w.test", disallow, allow)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [("w.test", f"https://w.test{p}") for p in probes],
+        schema="host string, url string",
+    )
+    ours = {
+        r["url"] for r in robots_allowed_precedence(frontier, robots).collect()
+    }
+    for p in probes:
+        expect = _ref_allowed(p, disallow, allow)
+        got = f"https://w.test{p}" in ours
+        assert got == expect, (p, "expected", expect)
+    # spot-pin the table rows that define the semantics (so a bug in
+    # the reference matcher above can't silently bless itself)
+    assert f"https://w.test/a.php5" in ours
+    assert f"https://w.test/a.php" not in ours
+    assert f"https://w.test/x/deep/a.php" not in ours
+    assert f"https://w.test/private1/data/z" in ours
+    assert f"https://w.test/fish" not in ours
+    assert f"https://w.test/public_x.php" in ours
+    assert f"https://w.test/a!b" in ours
+
+
+def test_wildcard_free_rules_unchanged(spark):
+    """Regression fence: rule sets with no metacharacters must behave
+    byte-identically to the pre-wildcard prefix gate (the fast path)."""
+    import random
+
+    rng = random.Random(9309)
+    segs = ["/a", "/ab", "/ab/c", "/b", "/", "/c/d/e"]
+    disallow = ["/a", "/c/"]
+    allow = ["/ab", "/c/d"]
+    probes = ["".join(rng.choices("abc/", k=rng.randint(1, 8))) for _ in range(60)]
+    probes = ["/" + p.lstrip("/") for p in probes] + segs
+    robots = spark.createDataFrame(
+        [("x.test", disallow, allow)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [("x.test", f"https://x.test{p}") for p in set(probes)],
+        schema="host string, url string",
+    )
+    ours = {
+        r["url"] for r in robots_allowed_precedence(frontier, robots).collect()
+    }
+    for p in set(probes):
+        d = max((len(r) for r in disallow if p.startswith(r)), default=None)
+        a = max((len(r) for r in allow if p.startswith(r)), default=None)
+        expect = d is None or (a is not None and a >= d)
+        assert (f"https://x.test{p}" in ours) == expect, p
