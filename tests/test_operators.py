@@ -1020,3 +1020,172 @@ def test_temperature_sampling_rates_follow_sqrt_law(spark):
         assert abs(got - expect) <= 3 * sd + 1 / cnt, (lang, got, expect)
         if cnt > mn * 2:  # clearly over-represented
             assert mn / cnt < got < 1.0
+
+
+def test_stateful_politeness_rate_restart_from_checkpoint(spark, tmp_path):
+    """§2.9 restart-recovery for the rate limiter (VERDICT r4 #6): the
+    FIFO backlog is exactly the state most likely to double-release on
+    a bad resume. Stop after trigger 1 with a 3-url backlog parked in
+    state, deliver more urls while down, restart the SAME checkpoint:
+    trigger 2 must (a) resume the trigger ordinal at 2 — a reset to 1
+    means the state was lost, (b) release the OLD backlog in FIFO order
+    before any new arrival, (c) never re-emit trigger 1's releases
+    (sink replay), and (d) cap the release at k. A third restart with
+    no new data appends nothing."""
+    import os
+
+    import pandas as pd
+
+    from crawler_spark.streaming import _RATE_K, politeness_rate_limit_stateful
+
+    assert _RATE_K == 2  # closed form below is written for k=2
+    src = str(tmp_path / "urls")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    b0 = [f"http://a.com/{i}" for i in range(5)]  # a.com/0 .. a.com/4
+    b1 = ["http://a.com/x", "http://a.com/y"]
+    pd0 = pd.DataFrame({"host": ["a.com"] * 5, "url": b0})
+    pd1 = pd.DataFrame({"host": ["a.com"] * 2, "url": b1})
+    spark.createDataFrame(pd0).coalesce(1).write.parquet(f"{src}/d=0")
+    schema = spark.read.parquet(f"{src}/d=0").schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        return (
+            politeness_rate_limit_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got1 = sorted(
+        (r.url, r.trigger_seq) for r in spark.read.parquet(out).collect()
+    )
+    # trigger 1: sorted(b0)[:2]; backlog [2,3,4] parked in state
+    assert got1 == [(b0[0], 1), (b0[1], 1)], got1
+
+    spark.createDataFrame(pd1).coalesce(1).write.parquet(f"{src}/d=1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = sorted(
+        (r.url, r.trigger_seq) for r in spark.read.parquet(out).collect()
+    )
+    # trigger 2 resumed the ordinal AND drained the OLD backlog first:
+    # avail = [a/2, a/3, a/4, a/x, a/y][:2]
+    assert got2 == [
+        (b0[0], 1),
+        (b0[1], 1),
+        (b0[2], 2),
+        (b0[3], 2),
+    ], got2
+
+    # empty restart: no trigger fires, nothing appended, state intact
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got3 = sorted(
+        (r.url, r.trigger_seq) for r in spark.read.parquet(out).collect()
+    )
+    assert got3 == got2
+
+
+def test_stateful_paragraph_dedup_restart_from_checkpoint(spark, tmp_path):
+    """§2.9 restart-recovery for the paragraph-dedup stream (VERDICT r4
+    #6): per-shard seen-hash state must survive a kill/restart —
+    re-discoveries of pre-restart paragraphs stay suppressed (state
+    loss would re-emit them), pre-restart winners are not re-appended
+    (sink replay), and an empty restart appends zero rows."""
+    import os
+
+    import pandas as pd
+
+    from crawler_spark.streaming import paragraph_dedup_stateful
+
+    src = str(tmp_path / "paras")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def frame(rows):
+        return pd.DataFrame(
+            [(h[0], h, d, p) for h, d, p in rows],
+            columns=["shard", "h", "doc_id", "pidx"],
+        )
+
+    # two shards ('a', 'f'); b1/b2 re-discover earlier hashes from docs
+    # with LOWER (doc_id, pidx) than some first sightings — a lost state
+    # would not just re-emit, it would re-emit with different winners
+    b0 = [("aaa1", 1, 0), ("fff1", 1, 1), ("aaa2", 2, 0)]
+    b1 = [("aaa1", 3, 0), ("fff2", 3, 1), ("fff1", 4, 0)]
+    b2 = [("aaa2", 5, 0), ("aaa3", 5, 1)]
+    spark.createDataFrame(frame(b0)).coalesce(1).write.parquet(f"{src}/d=0")
+    schema = spark.read.parquet(f"{src}/d=0").schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/d=*")
+        )
+        return (
+            paragraph_dedup_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(frame(b1)).coalesce(1).write.parquet(f"{src}/d=1")
+    spark.createDataFrame(frame(b2)).coalesce(1).write.parquet(f"{src}/d=2")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.h, r.doc_id, r.pidx) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("aaa1", 1, 0),
+        ("aaa2", 2, 0),
+        ("aaa3", 5, 1),
+        ("fff1", 1, 1),
+        ("fff2", 3, 1),
+    ], got
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (
+        sorted(
+            (r.h, r.doc_id, r.pidx)
+            for r in spark.read.parquet(out).collect()
+        )
+        == got
+    )
