@@ -98,6 +98,10 @@ class EngineConfig:
     # the url-seen and img-cache anti-joins; above it the classic
     # shuffle join is the right plan (~30 MB of urls at the default)
     seen_anti_broadcast_limit: int = 500_000
+    # robots tables at or below this many hosts are collected once and
+    # compiled into the successor gate as a map literal (no broadcast
+    # join in the superstep barrier path); larger tables keep the join
+    robots_rules_map_max: int = 10_000
     # loop-read state tables are compacted every K supersteps (url_seen
     # derives from crawl_log, which every superstep's anti-join scans —
     # file-count growth there is direct barrier cost)
@@ -198,6 +202,30 @@ class CrawlEngine:
             if robots_df is not None
             else spark.read.schema(schemas.ROBOTS).parquet(robots_path)
         )
+        # dimension-sized and loop-invariant, but referenced by EVERY
+        # superstep's politeness join and successor robots gate — the r5
+        # barrier profile showed each superstep re-running the parquet
+        # scan (file listing + footer reads) before rebuilding the
+        # broadcast. localCheckpoint truncates to cached blocks: one
+        # scan for the whole crawl. (The broadcast exchange itself is
+        # per-query by Spark's design; only the scan is hoisted.)
+        self.robots = self.robots.localCheckpoint(eager=True)
+        # small-robots fast path for the per-superstep successor gate: a
+        # collected {host: disallow_prefixes} map compiles the gate into
+        # the succ chain's own codegen span — one broadcast-exchange job
+        # per superstep gone (r5 barrier profile). Limit+1 probe instead
+        # of a count; above the limit the broadcast-join form stands
+        # (the 10^6-host scale path, like the bloom probe switch).
+        self._robots_rules: dict[str, list[str]] | None = None
+        head = (
+            self.robots.select("host", "disallow_prefixes")
+            .limit(self.cfg.robots_rules_map_max + 1)
+            .collect()
+        )
+        if len(head) <= self.cfg.robots_rules_map_max:
+            self._robots_rules = {
+                r["host"]: list(r["disallow_prefixes"] or []) for r in head
+            }
         self.seeds_path = seeds_path
         # Resume-exactness fence for the priority signal (same class as
         # pipeline._check_fingerprint): the score table reorders every
@@ -339,7 +367,12 @@ class CrawlEngine:
             cfg.n_salts,
             cfg.default_crawl_delay_ms,
             priority=self.priority_df,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # lazy: the kind_counts collect right below is the first action
+        # and materializes the checkpoint — eager=True here was a second
+        # back-to-back driver job over the same politeness window (r5
+        # barrier profile: two ~0.2-0.5 s serial job floors at every
+        # superstep head collapsed into one)
         ph: dict[str, float] = {}
 
         def _tick(name: str, t=[time.monotonic()]) -> None:
@@ -452,11 +485,13 @@ class CrawlEngine:
             self._detail_successors(details, s, successors, error_frames)
 
             def t_detail() -> None:
+                w0 = time.monotonic()
                 try:
                     self._jd(f"s{s}:detail_materialize")
                     details.count()
                 finally:
                     ev_details.set()
+                ph["detail_materialize"] = round(time.monotonic() - w0, 3)
                 self._write_detail_entities(details, s, n_detail)
 
             tasks.append(("detail_entities", t_detail))
@@ -521,21 +556,29 @@ class CrawlEngine:
         frontier_box: dict[str, DataFrame | None] = {"new_rows": None}
 
         def t_frontier() -> None:
+            w0 = time.monotonic()
             ev_details.wait()
             ev_cats.wait()
+            ph["frontier_wait"] = round(time.monotonic() - w0, 3)
             self._jd(f"s{s}:frontier")
             if n_cat or n_listing:
                 self._listing_successors(
                     cats, lst, n_cat, n_listing, s, successors
                 )
-            new_rows = self._new_frontier_rows(successors, remaining, batch, s)
+            w1 = time.monotonic()
+            new_rows = self._new_frontier_rows(
+                successors, remaining, batch, s, ph
+            )
+            ph["frontier_new_rows"] = round(time.monotonic() - w1, 3)
             frontier_next = remaining.select(*_FRONTIER_COLS)
             if new_rows is not None:
                 frontier_next = frontier_next.unionByName(
                     new_rows.select(*_FRONTIER_COLS)
                 )
             self._jd(f"s{s}:frontier_write")
+            w2 = time.monotonic()
             store.write_frontier(frontier_next, s)
+            ph["frontier_write"] = round(time.monotonic() - w2, 3)
             frontier_box["new_rows"] = new_rows
 
         tasks.append(("frontier", t_frontier))
@@ -1058,11 +1101,14 @@ class CrawlEngine:
         store.write_delta("img_cache", rows, s, suffix=suffix)
 
     # ------------------------------------------------------------------
-    def _new_frontier_rows(self, successors, remaining, batch, s):
+    def _new_frontier_rows(self, successors, remaining, batch, s, ph=None):
         """Canonicalize → first-wins dedup (min path) → robots gate →
         bloom prefilter → exact anti-join backstop (U1/U3/J4 pattern)."""
         if not successors:
             return None
+        if ph is None:
+            ph = {}
+        w0 = time.monotonic()
         cfg = self.cfg
         self._jd(f"s{s}:succ_dedup")
         _cols = ("url", "host", "path", "parent_url", "root_seed", "depth",
@@ -1084,10 +1130,15 @@ class CrawlEngine:
             # pure-Catalyst canonicalizer (urltools.canonicalize_expr):
             # stays inside the JVM — no Python-worker round trip in the
             # per-superstep hot path (round-2 event logs put the pandas
-            # UDF predecessor among the largest non-extract stages)
-            succ = succ.withColumn("url", canonicalize_expr(F.col("url"))).filter(
-                F.col("url").isNotNull()
-            )
+            # UDF predecessor among the largest non-extract stages).
+            # The unparseable-URL drop happens AFTER the first-wins agg
+            # below (r5 barrier profile): an IS NOT NULL filter here is
+            # pushed below the projection, inlining the entire
+            # canonicalize tree into the filter CONDITION — every
+            # successor row paid the chain twice (plan audit, exec 135
+            # stage 566). Post-agg, the filter reads the materialized
+            # grouping key; null urls just form one dropped group.
+            succ = succ.withColumn("url", canonicalize_expr(F.col("url")))
         if cfg.record_links:
             # every discovered edge, canonical dst, BEFORE the
             # first-wins dedup below collapses multi-parent urls to one
@@ -1100,9 +1151,11 @@ class CrawlEngine:
                 F.col("url").alias("dst_url"),
                 "kind",
                 F.lit(s).cast("long").alias("superstep"),
-            )
+            ).where(F.col("dst_url").isNotNull())
         # first-wins on priority path per url (oracle: sorted-(path,url)
-        # insertion; min(struct) = lexicographic min on path)
+        # insertion; min(struct) = lexicographic min on path); the
+        # post-agg IS NOT NULL drops the canonicalize-rejected group
+        # against the materialized key (see canonicalize note above)
         succ = (
             succ.groupBy("url")
             .agg(
@@ -1110,6 +1163,7 @@ class CrawlEngine:
                     F.struct("path", "host", "parent_url", "root_seed", "depth")
                 ).alias("m")
             )
+            .filter(F.col("url").isNotNull())
             .select(
                 "url",
                 F.col("m.host").alias("host"),
@@ -1119,7 +1173,15 @@ class CrawlEngine:
                 (F.col("m.depth") + 1).alias("depth"),
             )
         )
-        succ = robots_allowed(succ, self.robots)
+        succ = robots_allowed(succ, self.robots, rules_map=self._robots_rules)
+
+        if os.environ.get("CRAWL_PROF_SPLIT"):
+            # profiling only (extra action; re-runs the pre-probe chain):
+            # attribute the succ materialize between the relational chain
+            # and the probe/checkpoint tail
+            tp = time.monotonic()
+            ph["nfr_pre_probe_count"] = succ.count()
+            ph["nfr_pre_probe"] = round(time.monotonic() - tp, 3)
 
         # bloom prefilter: definite-new rows skip the exact anti-join
         succ = self._probe_maybe_seen(succ)
@@ -1151,6 +1213,7 @@ class CrawlEngine:
         # when maybe is large (steady-state web crawls where most links
         # are dups — there the shuffle is the right plan).
         n_maybe = maybe.count()  # succ is checkpointed: a cheap cached agg
+        ph["nfr_succ_materialize"] = round(time.monotonic() - w0, 3)
         if n_maybe <= cfg.seen_anti_broadcast_limit:
             hits = seen_urls.join(
                 F.broadcast(maybe.select("url")), "url", "left_semi"

@@ -107,17 +107,40 @@ def politeness_take(
     )
 
 
-def robots_allowed(df: DataFrame, robots: DataFrame) -> DataFrame:
+def robots_allowed(
+    df: DataFrame,
+    robots: DataFrame,
+    rules_map: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Filter rows whose URL path hits a disallow prefix for its host
     (robots gate; reference analog: none — single-API crawler — this is
-    the north-rule robots enforcement). Expects ``url`` + ``host``."""
+    the north-rule robots enforcement). Expects ``url`` + ``host``.
+
+    ``rules_map``: optional pre-collected {host: disallow_prefixes}.
+    When given, the gate compiles to a map-literal lookup inside the
+    caller's codegen span instead of a broadcast hash join — no
+    broadcast-exchange job, no extra plan stage. This is the
+    small-robots fast path (the engine collects it once per crawl below
+    a size threshold); the join form remains the 10^6-host scale path,
+    exactly like the bloom probe's broadcast/partitioned switch."""
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    if rules_map is not None:
+        hosts_with_rules = {h: ps for h, ps in rules_map.items() if ps}
+        if not hosts_with_rules:
+            return df
+        entries: list[F.Column] = []
+        for h, prefixes in hosts_with_rules.items():
+            entries.append(F.lit(h))
+            entries.append(F.array(*[F.lit(p) for p in prefixes]))
+        rules = F.element_at(F.create_map(*entries), F.col("host"))
+        return df.withColumn("_path", path).filter(
+            rules.isNull()
+            | ~F.exists(rules, lambda p: F.col("_path").startswith(p))
+        ).drop("_path")
     r = robots.select("host", "disallow_prefixes")
     return (
         df.join(F.broadcast(r), "host", "left")
-        .withColumn(
-            "_path",
-            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
-        )
+        .withColumn("_path", path)
         .filter(
             F.col("disallow_prefixes").isNull()
             | ~F.expr(
