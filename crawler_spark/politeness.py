@@ -112,9 +112,13 @@ def robots_allowed(
     robots: DataFrame,
     rules_map: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Filter rows whose URL path hits a disallow prefix for its host
+    """Filter rows whose URL path hits a disallow rule for its host
     (robots gate; reference analog: none — single-API crawler — this is
     the north-rule robots enforcement). Expects ``url`` + ``host``.
+    Round 5: rules may use the RFC 9309 §2.2.3 ``*`` / trailing-``$``
+    wildcards (shared matcher with robots.robots_allowed_precedence);
+    wildcard-free rules keep the literal startswith fast path, so the
+    golden fixtures' behavior is byte-identical.
 
     ``rules_map``: optional pre-collected {host: disallow_prefixes}.
     When given, the gate compiles to a map-literal lookup inside the
@@ -123,6 +127,8 @@ def robots_allowed(
     small-robots fast path (the engine collects it once per crawl below
     a size threshold); the join form remains the 10^6-host scale path,
     exactly like the bloom probe's broadcast/partitioned switch."""
+    from .robots import _rule_matches  # no cycle: robots imports nothing local
+
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     if rules_map is not None:
         hosts_with_rules = {h: ps for h, ps in rules_map.items() if ps}
@@ -135,7 +141,9 @@ def robots_allowed(
         rules = F.element_at(F.create_map(*entries), F.col("host"))
         return df.withColumn("_path", path).filter(
             rules.isNull()
-            | ~F.exists(rules, lambda p: F.col("_path").startswith(p))
+            | ~F.exists(
+                rules, lambda p: _rule_matches(F.col("_path"), p)
+            )
         ).drop("_path")
     r = robots.select("host", "disallow_prefixes")
     return (
@@ -143,8 +151,9 @@ def robots_allowed(
         .withColumn("_path", path)
         .filter(
             F.col("disallow_prefixes").isNull()
-            | ~F.expr(
-                "exists(disallow_prefixes, p -> startswith(_path, p))"
+            | ~F.exists(
+                F.col("disallow_prefixes"),
+                lambda p: _rule_matches(F.col("_path"), p),
             )
         )
         .drop("disallow_prefixes", "_path")

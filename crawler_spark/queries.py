@@ -409,6 +409,70 @@ FROM r WHERE host_rank <= 3
 """,
 )
 
+_ROBOTS_GATE_URLS_SQL = """
+SELECT doc_id, 'w.test' AS host, concat('https://w.test', p) AS url, p
+FROM (
+  SELECT doc_id,
+         CASE cast(doc_id % 6 AS integer)
+           WHEN 0 THEN concat('/x/', source, '.php')
+           WHEN 1 THEN concat('/private', cast(doc_id % 9 AS string),
+                              '/data/', source)
+           WHEN 2 THEN concat('/private', cast(doc_id % 9 AS string), '/img')
+           WHEN 3 THEN concat('/fish', cast(doc_id % 4 AS string))
+           WHEN 4 THEN '/a$b'
+           ELSE concat('/ok/', source)
+         END AS p
+  FROM documents)
+"""
+
+
+def _robots_wildcard_gate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard gate (round 5) over constructed paths:
+    `/*.php$` (trailing anchor), `/private*/` (infix wildcard),
+    `/fish*` vs the shorter allow `/fish` (most-octets precedence),
+    literal mid-pattern `$`, and the longer-allow override
+    `/private*/data/`. Runs the REAL robots_allowed_precedence
+    operator; the oracle re-implements the longest-match rule over
+    hand-written regexes (urllib.robotparser has no wildcard support,
+    so it cannot serve as the oracle here — tests/test_robots.py
+    pins the same semantics against an independent Python matcher)."""
+    from .robots import robots_allowed_precedence
+
+    load_views(spark, sf_dir)
+    urls = spark.sql(_ROBOTS_GATE_URLS_SQL)
+    rules = spark.createDataFrame(
+        [(
+            "w.test",
+            ["/*.php$", "/private*/", "/fish*", "/a$b"],
+            ["/private*/data/", "/fish"],
+        )],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    return robots_allowed_precedence(urls, rules).select("doc_id", "url")
+
+
+_REL["o5_robots_wildcard_gate"] = Query(
+    fn=_robots_wildcard_gate_fn,
+    oracle=r"""
+WITH u AS (""" + _ROBOTS_GATE_URLS_SQL + r"""),
+g AS (
+  SELECT doc_id, url,
+         list_max(list_transform(list_filter(
+           [{'rx': '^/.*\.php$', 'l': 7},
+            {'rx': '^/private.*/', 'l': 10},
+            {'rx': '^/fish.*', 'l': 6},
+            {'rx': '^/a\$b', 'l': 4}],
+           r -> regexp_matches(p, r.rx)), r -> r.l)) AS d,
+         list_max(list_transform(list_filter(
+           [{'rx': '^/private.*/data/', 'l': 15},
+            {'rx': '^/fish', 'l': 5}],
+           r -> regexp_matches(p, r.rx)), r -> r.l)) AS a
+  FROM u)
+SELECT doc_id, url FROM g WHERE d IS NULL OR coalesce(a, -1) >= d
+""",
+)
+
 # ---------------------------------------------------------------------------
 # §2.7 set ops
 # ---------------------------------------------------------------------------

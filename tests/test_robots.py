@@ -338,3 +338,38 @@ def test_wildcard_free_rules_unchanged(spark):
         a = max((len(r) for r in allow if p.startswith(r)), default=None)
         expect = d is None or (a is not None and a >= d)
         assert (f"https://x.test{p}" in ours) == expect, p
+
+
+def test_engine_gate_honors_wildcards(spark):
+    """politeness.robots_allowed — the engine's per-superstep successor
+    gate — shares the RFC 9309 wildcard matcher (round 5): a
+    `/*.php$`-style disallow must drop matching successors in BOTH the
+    broadcast-join form and the collected map-literal fast path, and
+    wildcard-free rules must behave exactly as before."""
+    from crawler_spark.politeness import robots_allowed
+
+    rules = {"g.test": ["/*.php$", "/private*/", "/lit"]}
+    robots = spark.createDataFrame(
+        [("g.test", 0, rules["g.test"])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    probes = {
+        "/a.php": False,
+        "/deep/b.php": False,
+        "/a.php5": True,
+        "/private9/x": False,
+        "/privateX": True,   # no trailing slash matched by the rule
+        "/lit/sub": False,   # literal prefix, fast path
+        "/ok": True,
+    }
+    df = spark.createDataFrame(
+        [("g.test", f"https://g.test{p}") for p in probes],
+        "host string, url string",
+    )
+    for form, out in [
+        ("join", robots_allowed(df, robots)),
+        ("map", robots_allowed(df, robots, rules_map=rules)),
+    ]:
+        got = {r.url for r in out.collect()}
+        for p, keep in probes.items():
+            assert (f"https://g.test{p}" in got) == keep, (form, p)
