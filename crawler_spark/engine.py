@@ -658,6 +658,7 @@ class CrawlEngine:
         # write independent tables — same concurrent-chain treatment
         compact_tables = (
             ("crawl_log", "img_cache", "brands", "categories")
+            + (("links",) if cfg.record_links else ())
             if cfg.compact_every and s % cfg.compact_every == 0
             else ()
         )
