@@ -62,7 +62,10 @@ def compute_priority_scores(
     ``record_links=True`` has nothing to rank, and silently returning
     an empty score table would make ``--priority`` a no-op that looks
     like a uniform graph."""
-    store = StateStore(spark, state_dir)
+    # readonly: scoring must not run the destructive uncommitted-delta
+    # cleanup a writer open performs — the natural loop runs this
+    # against a state dir a crawl may still be appending to
+    store = StateStore(spark, state_dir, readonly=True)
     links = store.read("links")
     if not store.manifest["tables"]["links"]:
         raise ValueError(

@@ -226,6 +226,17 @@ class CrawlEngine:
             self._robots_rules = {
                 r["host"]: list(r["disallow_prefixes"] or []) for r in head
             }
+        # compile the map literal ONCE; supersteps reuse the Column
+        # (review finding: per-superstep rebuild is thousands of py4j
+        # literal constructions at the 10k-host cap). _UNSET → large
+        # table → per-call broadcast-join form.
+        from .politeness import _UNSET, compile_rules_map
+
+        self._robots_rules_col = (
+            compile_rules_map(self._robots_rules)
+            if self._robots_rules is not None
+            else _UNSET
+        )
         self.seeds_path = seeds_path
         # Resume-exactness fence for the priority signal (same class as
         # pipeline._check_fingerprint): the score table reorders every
@@ -258,7 +269,40 @@ class CrawlEngine:
             }
         if self.store.manifest["frontier"] is not None:
             committed_pfp = self.store.manifest.get("priority_fp")
-            if committed_pfp != pfp:
+            if (
+                isinstance(committed_pfp, dict)
+                and "crc" in committed_pfp
+                and priority_df is not None
+            ):
+                # migration (round-5 review finding): round-4 manifests
+                # fingerprinted the table as n + summed crc32 over a
+                # string rendering — incomparable to the xxhash64 form,
+                # which would have made every legacy resume refuse even
+                # with the IDENTICAL table. Recompute the legacy digest
+                # for the comparison; a match upgrades the manifest to
+                # the new form below.
+                legacy = priority_df.agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.crc32(
+                            F.concat_ws(
+                                ":",
+                                F.col("url"),
+                                F.col("score").cast("double").cast("string"),
+                            )
+                        )
+                    ).alias("crc"),
+                ).collect()[0]
+                committed_cmp = committed_pfp
+                current_cmp = {
+                    "n": int(legacy["n"]),
+                    "crc": (
+                        None if legacy["crc"] is None else int(legacy["crc"])
+                    ),
+                }
+            else:
+                committed_cmp, current_cmp = committed_pfp, pfp
+            if committed_cmp != current_cmp:
                 raise ValueError(
                     f"state dir {state_dir!r} holds a crawl started with a "
                     f"different frontier-priority table (committed "
@@ -662,6 +706,17 @@ class CrawlEngine:
             if cfg.compact_every and s % cfg.compact_every == 0
             else ()
         )
+        if self._links_delta is not None:
+            # written BEFORE the tail pool, not in it: the tail may
+            # also compact 'links' this superstep, and compact()
+            # re-reads then REBINDS manifest['tables']['links'] — a
+            # concurrent delta append could land on the orphaned list
+            # and silently drop this superstep's edges (round-5 review
+            # finding). Serial here = append is always visible to the
+            # compaction that follows.
+            self._jd(f"s{s}:links_write")
+            store.write_delta("links", self._links_delta, s)
+
         tail: list = []
         if n_err:
 
@@ -670,14 +725,6 @@ class CrawlEngine:
                 store.write_delta("errors", errors, s)
 
             tail.append(t_errors)
-
-        if self._links_delta is not None:
-
-            def t_links() -> None:
-                self._jd(f"s{s}:links_write")
-                store.write_delta("links", self._links_delta, s)
-
-            tail.append(t_links)
 
         def t_checkpoint() -> None:
             # ---- per-partition lineage counters (north rule) ----
@@ -1174,7 +1221,9 @@ class CrawlEngine:
                 (F.col("m.depth") + 1).alias("depth"),
             )
         )
-        succ = robots_allowed(succ, self.robots, rules_map=self._robots_rules)
+        succ = robots_allowed(
+            succ, self.robots, rules_col=self._robots_rules_col
+        )
 
         if os.environ.get("CRAWL_PROF_SPLIT"):
             # profiling only (extra action; re-runs the pre-probe chain):

@@ -790,8 +790,18 @@ def embedding_lsh_4bit_df(spark, sf_dir: str, threshold: float = 0.35):
     (9.7 s at 20k, 29.8 s at 100k vectors, recall ≈ 0.96 at cos 0.95).
     Override for deliberate small-corpus oracle runs via
     CRAWLER_SPARK_EMB_LSH_4BIT_MAX."""
+    import os as _os
+
     from ..views import load_views, views_fn
 
+    if not _os.path.exists(_os.path.join(sf_dir, "embeddings.parquet")):
+        # load_views silently skips missing files; without this check a
+        # stale 'embeddings' view from a previous sf_dir would be
+        # counted (and queried) instead of erroring cleanly
+        raise FileNotFoundError(
+            f"{sf_dir}/embeddings.parquet not found — refusing to fall "
+            "back to a previously registered 'embeddings' view"
+        )
     load_views(spark, sf_dir)
     guard_quadratic_knee(
         spark.table("embeddings").count(),

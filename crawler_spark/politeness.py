@@ -107,10 +107,31 @@ def politeness_take(
     )
 
 
+def compile_rules_map(rules_map: dict[str, list[str]]):
+    """{host: disallow_prefixes} → a map-literal Column (or None when no
+    host has rules — the gate is then a no-op). Build this ONCE per
+    crawl and reuse the Column across supersteps (round-5 review
+    finding: rebuilding it per call is thousands of py4j literal
+    constructions per superstep at the 10k-host cap — more driver work
+    than the broadcast-exchange job it replaces)."""
+    hosts_with_rules = {h: ps for h, ps in rules_map.items() if ps}
+    if not hosts_with_rules:
+        return None
+    entries: list[F.Column] = []
+    for h, prefixes in hosts_with_rules.items():
+        entries.append(F.lit(h))
+        entries.append(F.array(*[F.lit(p) for p in prefixes]))
+    return F.create_map(*entries)
+
+
+_UNSET = object()
+
+
 def robots_allowed(
     df: DataFrame,
     robots: DataFrame,
     rules_map: dict[str, list[str]] | None = None,
+    rules_col=_UNSET,
 ) -> DataFrame:
     """Filter rows whose URL path hits a disallow rule for its host
     (robots gate; reference analog: none — single-API crawler — this is
@@ -126,19 +147,19 @@ def robots_allowed(
     broadcast-exchange job, no extra plan stage. This is the
     small-robots fast path (the engine collects it once per crawl below
     a size threshold); the join form remains the 10^6-host scale path,
-    exactly like the bloom probe's broadcast/partitioned switch."""
+    exactly like the bloom probe's broadcast/partitioned switch.
+    ``rules_col``: the same fast path with a PRE-COMPILED
+    :func:`compile_rules_map` Column (None = no rules → no-op) —
+    loop callers pass this so the literal is built once per crawl."""
     from .robots import _rule_matches  # no cycle: robots imports nothing local
 
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    if rules_map is not None:
-        hosts_with_rules = {h: ps for h, ps in rules_map.items() if ps}
-        if not hosts_with_rules:
+    if rules_col is _UNSET and rules_map is not None:
+        rules_col = compile_rules_map(rules_map)
+    if rules_col is not _UNSET:
+        if rules_col is None:
             return df
-        entries: list[F.Column] = []
-        for h, prefixes in hosts_with_rules.items():
-            entries.append(F.lit(h))
-            entries.append(F.array(*[F.lit(p) for p in prefixes]))
-        rules = F.element_at(F.create_map(*entries), F.col("host"))
+        rules = F.element_at(rules_col, F.col("host"))
         return df.withColumn("_path", path).filter(
             rules.isNull()
             | ~F.exists(

@@ -53,17 +53,32 @@ TABLES = {
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, root: str, fresh: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fresh: bool = False,
+        readonly: bool = False,
+    ):
         self.spark = spark
         self.root = root
         if fresh and os.path.exists(root):
+            if readonly:
+                raise ValueError("fresh=True and readonly=True conflict")
             shutil.rmtree(root)
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
         # fencing token: the commit_seq we believe is on disk. commit()
         # only lands if the on-disk manifest still carries this value.
         self._commit_seq = self.manifest.get("commit_seq", 0)
-        self._cleanup_uncommitted()
+        # readonly (round-5 review finding): pure readers (e.g.
+        # authority.compute_priority_scores against a possibly-LIVE
+        # crawl's state dir) must not run the destructive
+        # uncommitted-delta cleanup — it would rmtree a concurrent
+        # engine's staged writes out from under it. The commit_seq
+        # fence only guards commits, not opens.
+        if not readonly:
+            self._cleanup_uncommitted()
         # superstep chains write different tables from driver threads;
         # plain list ops are GIL-atomic but compact()'s read-modify-write
         # of the gc list is not

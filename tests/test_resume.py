@@ -191,3 +191,102 @@ def test_statestore_fences_concurrent_writer(spark, tmp_path):
     c.write_delta("img_cache", mk("kc", "uc"), 2, suffix="c")
     with pytest.raises(ConcurrentWriterError):
         c.commit()
+
+
+def test_links_survive_same_superstep_compaction(spark, smoke_dir, tmp_path):
+    """Round-5 review finding: the links delta write used to race its
+    own table's compaction inside one concurrent tail pool — a lost
+    manifest append silently dropped a superstep's edges. The write is
+    now ordered before the compaction; a compact-every-superstep crawl
+    must record exactly the same edge multiset as a never-compacted
+    one."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    def crawl(state, compact_every):
+        eng = CrawlEngine(
+            spark,
+            pages_path=f"{smoke_dir}/pages.parquet",
+            seeds_path=f"{smoke_dir}/seeds.parquet",
+            robots_path=f"{smoke_dir}/robots.parquet",
+            state_dir=str(tmp_path / state),
+            config=EngineConfig(
+                budget_ms=600_000,
+                max_k=100_000,
+                record_links=True,
+                compact_every=compact_every,
+            ),
+            fresh=True,
+        )
+        eng.run(max_supersteps=4)
+        return sorted(
+            (r.src_url, r.dst_url, r.kind, r.superstep)
+            for r in eng.store.read("links").collect()
+        )
+
+    no_compact = crawl("links-nc", compact_every=0)
+    every_step = crawl("links-c1", compact_every=1)
+    assert no_compact, "record_links recorded nothing"
+    assert every_step == no_compact
+
+
+def test_priority_fp_legacy_crc_manifest_resumes(spark, smoke_dir, tmp_path):
+    """Round-5 review finding: the r4→r5 fingerprint format change
+    (summed crc32 → xxhash64 xor/sum) must not orphan round-4 state
+    dirs — a legacy 'crc' manifest entry is compared via the legacy
+    digest, so resuming with the IDENTICAL table succeeds (and a
+    different table still refuses)."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    pri = spark.createDataFrame(
+        [("https://h.net/p/0001", 5.0), ("https://h.net/p/0002", 1.5)],
+        "url string, score double",
+    )
+    state = tmp_path / "legacy-pfp"
+
+    def engine(priority_df, fresh):
+        return CrawlEngine(
+            spark,
+            pages_path=f"{smoke_dir}/pages.parquet",
+            seeds_path=f"{smoke_dir}/seeds.parquet",
+            robots_path=f"{smoke_dir}/robots.parquet",
+            state_dir=str(state),
+            priority_df=priority_df,
+            config=EngineConfig(budget_ms=3_000, max_k=1_000),
+            fresh=fresh,
+        )
+
+    eng = engine(pri, fresh=True)
+    eng.run(max_supersteps=1)
+    eng.store.commit()
+
+    # rewrite the manifest fingerprint to the round-4 legacy form
+    legacy = pri.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    ":",
+                    F.col("url"),
+                    F.col("score").cast("double").cast("string"),
+                )
+            )
+        ).alias("crc"),
+    ).collect()[0]
+    mp = state / "manifest.json"
+    m = json.loads(mp.read_text())
+    m["priority_fp"] = {"n": int(legacy["n"]), "crc": int(legacy["crc"])}
+    mp.write_text(json.dumps(m))
+
+    # identical table: resumes (and the ctor upgrades the fingerprint)
+    engine(pri, fresh=False)
+    # different table: still refuses via the legacy digest
+    other = spark.createDataFrame(
+        [("https://h.net/p/0001", 9.0)], "url string, score double"
+    )
+    with pytest.raises(ValueError, match="--fresh"):
+        engine(other, fresh=False)
