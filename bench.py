@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "a1_group_counts",
     "o2_first_match",
     "o4_priority_take",
+    "o5_robots_wildcard_gate",
     "u1_union_distinct",
     "w1_window_agg",
     "dedup_exact",
