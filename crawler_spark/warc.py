@@ -283,3 +283,44 @@ def pages_from_warc(spark, path: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def documents_from_wet(
+    spark, path: str, default_lang: str = "und"
+) -> DataFrame:
+    """WET extracted-text archives (Common Crawl's ``*.warc.wet.gz``:
+    WARC *conversion* records whose payload IS the extracted plain
+    text) → the training pipeline's ``documents`` shape
+    ``(doc_id, url, warc_ts, text, lang, source, n_chars)``.
+
+    Completes the CC ingest trio next to :func:`pages_from_warc`
+    (response records → crawl corpus) and ``cdx.read_cdx`` (index →
+    seeds): WET is the path that skips the crawl entirely and feeds
+    ``pipeline.run_training_pipeline`` directly. Same scale shape as
+    the WARC reader — one task per archive, shuffle-free, all-JVM
+    column work after the parse.
+
+    ``doc_id`` is ``xxhash64(url, warc_ts)`` (non-negative): stable
+    across scans and cluster sizes, so pipeline stage checkpoints and
+    dedup survivor ids remain joinable across re-runs — a
+    ``monotonically_increasing_id`` would silently reshuffle identities
+    per scan. ``lang`` defaults to ``default_lang``; language-id is a
+    downstream operator (q:text_lang_id), not the source's job."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, record_types=("conversion",))
+    text = F.decode(F.col("html"), "UTF-8")
+    return recs.select(
+        F.pmod(
+            F.xxhash64(F.col("url"), F.col("warc_ts").cast("string")),
+            F.lit(2**62),
+        ).alias("doc_id"),
+        F.col("url"),
+        F.col("warc_ts"),
+        text.alias("text"),
+        F.lit(default_lang).alias("lang"),
+        F.coalesce(
+            F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")
+        ).alias("source"),
+        F.length(text).alias("n_chars"),
+    )

@@ -20,7 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--docs", required=True, help="documents parquet path "
+                    "(or a WET archive dir with --docs-wet)")
+    ap.add_argument(
+        "--docs-wet", action="store_true",
+        help="treat --docs as a directory of Common-Crawl WET archives "
+             "(*.warc.wet.gz extracted-text records) — the crawl-free "
+             "CC-to-training-data path (crawler_spark.warc."
+             "documents_from_wet)",
+    )
     ap.add_argument("--out", required=True, help="output shard directory")
     ap.add_argument(
         "--fresh", action="store_true",
@@ -54,7 +62,12 @@ def main() -> None:
 
         shutil.rmtree(os.path.join(args.out, "stages"), ignore_errors=True)
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.docs)
+    if args.docs_wet:
+        from crawler_spark.warc import documents_from_wet
+
+        docs = documents_from_wet(spark, args.docs).drop("url", "warc_ts")
+    else:
+        docs = spark.read.parquet(args.docs)
     _, counts = run_training_pipeline(
         spark, docs, out_dir=args.out,
         dsir_keep_permille=args.dsir_keep_permille,

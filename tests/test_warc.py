@@ -274,3 +274,46 @@ def test_write_warc_null_ts_and_overwrite(spark, tmp_path):
     files = glob.glob(out + "/*.warc.gz")
     assert len(files) == 1, files
     assert read_warc(spark, out).count() == 2
+
+
+def test_documents_from_wet(spark, tmp_path):
+    """WET conversion records → documents shape: payload is the text
+    verbatim (no HTTP header stripping — conversion records carry none),
+    doc_id deterministic across scans, host extracted, response/request
+    records ignored."""
+    from crawler_spark.warc import documents_from_wet
+
+    texts = {
+        "https://a.test/art1": "the quick brown fox\njumps over it",
+        "https://b.test/art2": "纯文本 extracted content",
+    }
+    members = [
+        _record(
+            "warcinfo", None, b"software: wet",
+            content_type="application/warc-fields",
+        )
+    ]
+    for url, t in texts.items():
+        members.append(
+            _record("conversion", url, t.encode(), content_type="text/plain")
+        )
+    # a response record in the same archive must NOT become a document
+    members.append(_record("response", "https://a.test/page", HTTP_PAYLOAD))
+    (tmp_path / "part.warc.wet.gz").write_bytes(
+        gzip.compress(b"".join(members))
+    )
+
+    docs = documents_from_wet(spark, str(tmp_path))
+    rows = {r.url: r for r in docs.collect()}
+    assert set(rows) == set(texts)
+    for url, t in texts.items():
+        r = rows[url]
+        assert r.text == t
+        assert r.n_chars == len(t)
+        assert r.lang == "und"
+        assert r.doc_id >= 0
+    assert rows["https://a.test/art1"].source == "a.test"
+    # identity is stable across independent scans
+    again = {r.url: r.doc_id for r in documents_from_wet(
+        spark, str(tmp_path)).collect()}
+    assert again == {u: r.doc_id for u, r in rows.items()}
