@@ -151,9 +151,10 @@ def robots_allowed(
     ``rules_col``: the same fast path with a PRE-COMPILED
     :func:`compile_rules_map` Column (None = no rules → no-op) —
     loop callers pass this so the literal is built once per crawl."""
-    from .robots import _rule_matches  # no cycle: robots imports nothing local
+    # no cycle: robots imports nothing local
+    from .robots import _match_target, _rule_matches
 
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    path = _match_target(F.col("url"))
     if rules_col is _UNSET and rules_map is not None:
         rules_col = compile_rules_map(rules_map)
     if rules_col is not _UNSET:

@@ -186,6 +186,19 @@ def parse_robots_txt(
     )
 
 
+def _match_target(url: F.Column) -> F.Column:
+    """RFC 9309 §2.2.2 match target: the URI path AND, when present,
+    the query (``/p?q=1`` matches rules as the string ``/p?q=1`` — a
+    trailing-``$`` rule like ``/*.php$`` must NOT fire on
+    ``/a.php?x``, and query-targeting rules like ``/search?q=`` must
+    fire). CPython's robotparser uses the same path+query target."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/")),
+        F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
 def _rule_matches(path: F.Column, p: F.Column) -> F.Column:
     """RFC 9309 §2.2.3 rule match, pure Catalyst: a rule value is a
     path prefix that may additionally contain ``*`` (any sequence of
@@ -236,10 +249,7 @@ def robots_allowed_precedence(df: DataFrame, robots: DataFrame) -> DataFrame:
     path = F.col("_path")
     return (
         df.join(F.broadcast(r), "host", "left")
-        .withColumn(
-            "_path",
-            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
-        )
+        .withColumn("_path", _match_target(F.col("url")))
         .withColumn("_d", _best_match_len(path, F.col("disallow_prefixes")))
         .withColumn("_a", _best_match_len(path, F.col("allow_prefixes")))
         .filter(

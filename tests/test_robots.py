@@ -373,3 +373,48 @@ def test_engine_gate_honors_wildcards(spark):
         got = {r.url for r in out.collect()}
         for p, keep in probes.items():
             assert (f"https://g.test{p}" in got) == keep, (form, p)
+
+
+def test_match_target_includes_query(spark):
+    """RFC 9309 §2.2.2: rules match against path + query. A trailing-$
+    rule must not fire when a query follows the path, and
+    query-targeting rules must fire — in BOTH gates (precedence and
+    the engine's), both engine-gate forms."""
+    from crawler_spark.politeness import robots_allowed
+
+    disallow = ["/*.php$", "/search?q=*", "/dl"]
+    probes = {
+        "/a.php": False,            # anchored, no query
+        "/a.php?x=1": True,         # query defeats the $ anchor
+        "/search?q=secret": False,  # rule reaches into the query
+        "/search": True,
+        "/dl?any=1": False,         # prefix rule unaffected by query
+        "/ok?x=.php": False,        # * spans into the query; $ anchors
+                                    # the END of path+query, which IS
+                                    # '.php' here (Google semantics)
+        "/ok?x=1": True,
+    }
+    robots = spark.createDataFrame(
+        [("q.test", 0, disallow)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    df = spark.createDataFrame(
+        [("q.test", f"https://q.test{p}") for p in probes],
+        "host string, url string",
+    )
+    prec = spark.createDataFrame(
+        [("q.test", disallow, [])],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    outs = {
+        "engine-join": robots_allowed(df, robots),
+        "engine-map": robots_allowed(
+            df, robots, rules_map={"q.test": disallow}
+        ),
+        "precedence": robots_allowed_precedence(df, prec),
+    }
+    for form, out in outs.items():
+        got = {r.url for r in out.collect()}
+        for p, keep in probes.items():
+            assert (f"https://q.test{p}" in got) == keep, (form, p)
