@@ -29,10 +29,20 @@ Semantics implemented (RFC 9309 + de-facto extensions):
   ("allow all") lines are dropped.
 
 ``robots_allowed_precedence`` applies Google/RFC longest-match
-precedence (most specific of the matching allow/disallow prefixes wins;
-tie → allow) — a strict superset of the engine's default
-``politeness.robots_allowed`` prefix gate, provided for corpora whose
-robots actually carry Allow overrides.
+precedence (most specific of the matching allow/disallow rules wins,
+measured in rule octets; tie → allow), with §2.2.3 ``*`` /
+trailing-``$`` wildcard matching (round 5) over the §2.2.2 path+query
+target — shared matcher with the engine's per-superstep
+``politeness.robots_allowed`` gate, which adds Allow support for
+corpora whose robots carry overrides.
+
+Known simplification: rules and targets are compared as the literal
+octets the url/robots body carry — no percent-encoding normalization
+pass (RFC 9309 §2.2.2's encoded-octet comparison). Corpora with
+consistent encoding (both sides raw, or both encoded) match exactly;
+mixed-encoding corpora should canonicalize urls first
+(urltools.canonicalize_url keeps encoding verbatim by design, matching
+CPython urlsplit).
 """
 
 from __future__ import annotations
